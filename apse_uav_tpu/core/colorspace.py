@@ -112,10 +112,11 @@ def lab_to_rgb_u8(lab: Array) -> Array:
 def gamma_l_channel(lab_l: Array, gamma: float = 2.0) -> Array:
     """The reference's gamma LUT (aruco_detect.py:537-540) as closed form.
 
-    lut[i] = clip(round((i/255)^gamma * 255)); applied to the Lab L channel.
+    lut[i] = clip((i/255)^gamma * 255) truncated to uint8 (the reference
+    assigns the float into a uint8 array -> C-style truncation).
     """
     lf = lab_l.astype(jnp.float32) / 255.0
-    out = jnp.clip(jnp.round(lf**gamma * 255.0), 0.0, 255.0)
+    out = jnp.floor(jnp.clip(lf**gamma * 255.0, 0.0, 255.0))
     return out.astype(jnp.uint8)
 
 

@@ -1,0 +1,599 @@
+"""Fused undistort + gamma + grayscale as a single Pallas TPU kernel.
+
+This is the framework's north-star kernel (BASELINE.md: >=500 4K frames/s/chip
+for fused preproc).  It replaces the reference's per-frame OpenCV CPU chain
+(aruco_detect.py:250-259,568,592) with one pass over batched planar frames.
+
+Design (TPU-first, not a remap translation)
+-------------------------------------------
+cv2.remap is a random-gather — hostile to the TPU's vector memory.  But the
+undistortion map is a *smooth* diffeomorphism, so per 16x256 output tile the
+source footprint is a small window and the within-tile coordinate variation is
+tiny (median ~4 px for the reference lens).  We exploit that:
+
+1. **Host plan (exact, float64)**: compute the OpenCV-equivalent map once;
+   per tile derive a tile-aligned source window offset (DMA alignment: 32
+   rows / 128 lanes for uint8), a dynamic roll that removes the alignment
+   slack, and two small residual-coordinate fields:
+     * ``yres[r, s]``: vertical sample position for *source column s* at
+       output row r, relative to ``r`` after the roll.  Because the vertical
+       pass runs before the horizontal one, column ``s`` must be sampled at
+       ``y(r, u*(s))`` where ``u*`` is the exact preimage of ``s`` under the
+       x-map — solved by Newton in f64 on the host, which makes the two-pass
+       decomposition exact for bilinear.
+     * ``lxres[r, c]``: horizontal sample position relative to ``c``.
+
+2. **Kernel**: double-buffered DMA of the 3-channel uint8 window (next tile's
+   window prefetched while the current one computes), convert to f32,
+   dynamic-roll away the alignment slack, then bilinear-resample as a short
+   static chain of shift-multiply-accumulates (the two bilinear taps appear
+   as the two adjacent ``d`` terms of ``max(0, 1-|yres-d|)``) — pure VPU
+   work, no gathers.  Then the LAB gamma roundtrip (closed form, with cv2's
+   uint8 quantization points) and BGR2GRAY on the same VMEM tile.
+
+3. **Wild tiles**: outside the calibrated FOV the rational lens polynomial
+   diverges and the within-tile spans explode.  The few such border tiles
+   (~2% for the reference camera) are excluded from the static chains —
+   the kernel writes 0 there — and are patched exactly afterwards by a tiny
+   XLA bilinear-gather pass fused into the same jit.
+
+Borders: the input is zero-padded so every map sample lands inside the
+padded array — out-of-image taps read 0, matching cv2's BORDER_CONSTANT.
+Samples with a fully out-of-image footprint are exactly 0 under
+BORDER_CONSTANT, so the map is clamped to just outside the image first
+(without that, the diverging polynomial would dominate every span bound).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output tile (sublanes x lanes). H must divide by TH, W by TW (4K: 2160/16,
+# 3840/256).
+TH = 16
+TW = 256
+# uint8 DMA alignment: sublane offsets multiple of 32, lane offsets of 128.
+ALIGN_Y = 32
+ALIGN_X = 128
+
+
+def _distort_map_f64(mtx: np.ndarray, dist: np.ndarray, width: int, height: int):
+    """Exact (f64) undistort map: output pixel -> source pixel (cv2 semantics)."""
+    d = np.zeros(14)
+    d[: np.asarray(dist).size] = np.asarray(dist, dtype=np.float64).reshape(-1)
+    if d[12] != 0.0 or d[13] != 0.0:
+        raise NotImplementedError("tilted-sensor (tau) coefficients not supported in the fused kernel")
+    k1, k2, p1, p2, k3, k4, k5, k6, s1, s2, s3, s4 = d[:12]
+    fx, fy, cx, cy = mtx[0, 0], mtx[1, 1], mtx[0, 2], mtx[1, 2]
+
+    def fwd(u, v):
+        x = (u - cx) / fx
+        y = (v - cy) / fy
+        r2 = x * x + y * y
+        r4 = r2 * r2
+        r6 = r4 * r2
+        rad = (1 + k1 * r2 + k2 * r4 + k3 * r6) / (1 + k4 * r2 + k5 * r4 + k6 * r6)
+        xd = x * rad + 2 * p1 * x * y + p2 * (r2 + 2 * x * x) + s1 * r2 + s2 * r4
+        yd = y * rad + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y + s3 * r2 + s4 * r4
+        return xd * fx + cx, yd * fy + cy
+
+    return fwd
+
+
+@dataclasses.dataclass(frozen=True)
+class RemapPlan:
+    """Host-precomputed tile plan for the fused kernel (camera-specific)."""
+
+    width: int
+    height: int
+    pad_x: int
+    pad_y: int
+    padded_w: int
+    padded_h: int
+    dy: int  # static vertical residual span (MAC chain length)
+    dx: int  # static horizontal residual span
+    rh: int  # source window rows
+    rw: int  # source window cols
+    offsets: np.ndarray  # flat (nty*ntx*4,) int32: oy, ox, shifty, shiftx
+    yres: np.ndarray  # (nty, ntx, TH, RW) float32
+    lxres: np.ndarray  # (nty, ntx, TH, TW) float32 (-2 sentinel on dead/wild)
+    wild_yx: np.ndarray  # (nwild, 2) int32 tile coords (ti, tj)
+    wild_map: np.ndarray  # (nwild, TH, TW, 2) float32 padded sample coords
+
+    @property
+    def nty(self) -> int:
+        return self.height // TH
+
+    @property
+    def ntx(self) -> int:
+        return self.width // TW
+
+
+def build_remap_plan(
+    mtx, dist, size_wh: tuple[int, int], max_dy: int = 18, max_dx: int = 32,
+    cache: bool = True,
+) -> RemapPlan:
+    """Build the per-tile plan from camera parameters (runs once, numpy f64).
+
+    ``max_dy`` / ``max_dx`` cap the static MAC chain lengths; tiles whose
+    within-tile coordinate spans exceed the caps become "wild" and are
+    handled by the exact XLA patch pass instead.  Plans are cached on disk
+    (keyed by camera + geometry) since the exact Newton solve takes ~30 s
+    at 4K.
+    """
+    if cache:
+        import hashlib
+        import os
+        key = hashlib.sha256(
+            np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
+            + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
+            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v2".encode()
+        ).hexdigest()[:16]
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
+        path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
+        if os.path.exists(path):
+            z = np.load(path)
+            return RemapPlan(
+                width=int(z["width"]), height=int(z["height"]),
+                pad_x=int(z["pad_x"]), pad_y=int(z["pad_y"]),
+                padded_w=int(z["padded_w"]), padded_h=int(z["padded_h"]),
+                dy=int(z["dy"]), dx=int(z["dx"]), rh=int(z["rh"]), rw=int(z["rw"]),
+                offsets=z["offsets"], yres=z["yres"], lxres=z["lxres"],
+                wild_yx=z["wild_yx"], wild_map=z["wild_map"],
+            )
+        plan = build_remap_plan(mtx, dist, size_wh, max_dy, max_dx, cache=False)
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez_compressed(
+            path + ".tmp.npz",
+            **{f.name: getattr(plan, f.name) for f in dataclasses.fields(plan)},
+        )
+        os.replace(path + ".tmp.npz", path)
+        return plan
+    width, height = size_wh
+    if height % TH or width % TW:
+        raise ValueError(f"frame size {size_wh} must be a multiple of ({TW}, {TH})")
+    mtx = np.asarray(mtx, dtype=np.float64)
+    fwd_raw = _distort_map_f64(mtx, np.asarray(dist, dtype=np.float64), width, height)
+
+    # Any sample whose bilinear footprint is fully outside the source image
+    # yields exactly 0 under cv2's BORDER_CONSTANT — so the map can be
+    # clamped to just outside the image without changing a single output
+    # pixel.
+    def fwd(u, v):
+        x, y = fwd_raw(u, v)
+        return np.clip(x, -2.0, width + 1.0), np.clip(y, -2.0, height + 1.0)
+
+    uu, vv = np.meshgrid(np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64))
+    mx, my = fwd(uu, vv)
+    live = (mx > -1.0) & (mx < width) & (my > -1.0) & (my < height)
+
+    pad_x = ALIGN_X  # clamp box is [-2, W+1] so one alignment unit suffices
+    pad_y = ALIGN_Y
+    padded_w = -(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X
+    padded_h = -(-(height + 2 * pad_y) // ALIGN_Y) * ALIGN_Y
+    mx = mx + pad_x
+    my = my + pad_y
+
+    nty, ntx = height // TH, width // TW
+    mxt = mx.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
+    myt = my.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
+    livet = live.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
+    tile_live = livet.any(axis=(2, 3))
+
+    c_idx = np.arange(TW, dtype=np.float64)[None, None, None, :]
+    r_idx = np.arange(TH, dtype=np.float64)[None, None, :, None]
+
+    # Within-tile spans (live pixels only) decide tame vs wild.
+    def span(vals, mask):
+        lo = np.where(mask, vals, np.inf).min(axis=(2, 3))
+        hi = np.where(mask, vals, -np.inf).max(axis=(2, 3))
+        s = hi - lo
+        return np.where(mask.any(axis=(2, 3)), s, 0.0)
+
+    span_x = span(mxt - c_idx, livet)
+    span_y = span(myt - r_idx, livet)
+    tame = tile_live & (span_x <= max_dx - 2) & (span_y <= max_dy - 4)
+    wild = tile_live & ~tame
+
+    # --- horizontal windows (tame live pixels only) -------------------------
+    stat_mask = livet & tame[:, :, None, None]
+    any_stat = stat_mask.any(axis=(2, 3))
+    x_min = np.floor(np.where(any_stat, np.where(stat_mask, mxt, np.inf).min(axis=(2, 3)), 0.0)).astype(np.int64)
+    x_max = np.floor(np.where(any_stat, np.where(stat_mask, mxt, -np.inf).max(axis=(2, 3)), 1.0)).astype(np.int64) + 1
+    ox = (x_min // ALIGN_X) * ALIGN_X
+    rw = -(-(int((x_max - ox).max()) + 1) // ALIGN_X) * ALIGN_X
+    padded_w = max(padded_w, int(ox.max()) + rw)
+
+    # --- exact vertical sample positions per source column ------------------
+    s_local = np.arange(rw, dtype=np.float64)
+    y_at = np.empty((nty, ntx, TH, rw), dtype=np.float64)
+    eps = 1e-3
+    for i in range(nty):
+        s_glob = np.broadcast_to(ox[i][:, None, None] + s_local[None, None, :], (ntx, TH, rw))
+        v_glob = np.broadcast_to(
+            np.arange(i * TH, (i + 1) * TH, dtype=np.float64)[None, :, None], (ntx, TH, rw)
+        )
+        u = np.clip(s_glob - pad_x, 0.0, width - 1.0)
+        for _ in range(4):
+            fu, _ = fwd(u, v_glob)
+            fup, _ = fwd(u + eps, v_glob)
+            dfu = (fup - fu) / eps
+            u = u - (fu + pad_x - s_glob) / np.maximum(dfu, 1e-6)
+            u = np.clip(u, 0.0, width - 1.0)
+        _, yi = fwd(u, v_glob)
+        y_at[i] = yi + pad_y
+
+    # Columns consumed by the horizontal pass, per output row.
+    row_x_min = np.where(stat_mask, mxt, np.inf).min(axis=3)
+    row_x_max = np.where(stat_mask, mxt, -np.inf).max(axis=3)
+    row_live = stat_mask.any(axis=3)
+    row_x_min = np.where(row_live, row_x_min, 0.0)
+    row_x_max = np.where(row_live, row_x_max, 1.0)
+    s_cols = ox[:, :, None, None] + s_local[None, None, None, :]
+    consumed = (
+        (s_cols >= np.floor(row_x_min)[..., None])
+        & (s_cols <= np.floor(row_x_max)[..., None] + 1)
+        & row_live[..., None]
+    )
+
+    # Vertical windows over consumed (row, column) pairs.
+    any_cons = consumed.any(axis=(2, 3))
+    y_used_min = np.where(any_cons, np.where(consumed, y_at, np.inf).min(axis=(2, 3)), 0.0)
+    y_used_max = np.where(any_cons, np.where(consumed, y_at, -np.inf).max(axis=(2, 3)), 1.0)
+    y_min = np.floor(y_used_min).astype(np.int64)
+    y_max = np.floor(y_used_max).astype(np.int64) + 1
+    oy = (y_min // ALIGN_Y) * ALIGN_Y
+    rh = -(-int((y_max - oy).max() + 2) // ALIGN_Y) * ALIGN_Y
+    padded_h = max(padded_h, int(oy.max()) + rh)
+
+    # Roll + residual decomposition.  Rolls may be NEGATIVE (alignment slack
+    # smaller than within-tile variation): the roll is cyclic, and every tap
+    # with nonzero weight addresses an un-wrapped source element (wrapped
+    # positions only ever see zero weights on finite uint8 data).
+    y_local = y_at - oy[:, :, None, None]
+    rel = np.where(consumed, y_local - r_idx, np.inf)
+    rolly = np.where(any_cons, np.floor(np.where(any_cons[:, :, None, None], rel, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
+    yres_all = y_local - r_idx - rolly[:, :, None, None]
+    dy = int(np.floor(np.where(consumed, yres_all, -np.inf).max(initial=0.0))) + 2
+    dy = max(dy, 2)
+    yres = np.where(consumed, yres_all, 0.0).clip(0.0, dy - 1.0).astype(np.float32)
+
+    lx_local = mxt - ox[:, :, None, None]
+    relx = np.where(stat_mask, lx_local - c_idx, np.inf)
+    rollx = np.where(any_stat, np.floor(np.where(any_stat[:, :, None, None], relx, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
+    lxres_all = lx_local - c_idx - rollx[:, :, None, None]
+    dx = int(np.floor(np.where(stat_mask, lxres_all, -np.inf).max(initial=0.0))) + 2
+    dx = max(dx, 2)
+    # Sentinel -2: all horizontal weights vanish -> exact 0 (dead + wild px).
+    lxres = np.where(stat_mask, lxres_all.clip(0.0, dx - 1.0), -2.0).astype(np.float32)
+
+    assert dy <= max_dy and dx <= max_dx, (dy, dx, max_dy, max_dx)
+    assert float(yres.min()) >= 0.0
+    assert int((y_max - oy).max()) <= rh - 1, "vertical window overflow"
+    assert int((x_max - ox).max()) <= rw - 1, "horizontal window overflow"
+    assert (oy >= 0).all() and (oy + rh <= padded_h).all()
+    assert (ox >= 0).all() and (ox + rw <= padded_w).all()
+
+    shifty = ((-rolly) % rh).astype(np.int32)
+    shiftx = ((-rollx) % rw).astype(np.int32)
+    offsets = np.stack([oy, ox, shifty, shiftx], axis=-1).astype(np.int32).reshape(-1)
+
+    wi, wj = np.nonzero(wild)
+    wild_yx = np.stack([wi, wj], axis=-1).astype(np.int32)
+    wild_map = np.stack(
+        [mxt[wi, wj], myt[wi, wj]], axis=-1
+    ).astype(np.float32)  # (nwild, TH, TW, 2), padded coords
+
+    return RemapPlan(
+        width=width,
+        height=height,
+        pad_x=pad_x,
+        pad_y=pad_y,
+        padded_w=padded_w,
+        padded_h=padded_h,
+        dy=dy,
+        dx=dx,
+        rh=int(rh),
+        rw=int(rw),
+        offsets=offsets,
+        yres=yres,
+        lxres=lxres,
+        wild_yx=wild_yx,
+        wild_map=wild_map,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side math (VPU-friendly; exp/log instead of pow, no unsupported ops).
+# ---------------------------------------------------------------------------
+
+
+def _pow(x, p):
+    return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-12)))
+
+
+def _srgb_to_linear(u):
+    return jnp.where(u <= 0.04045, u / 12.92, _pow((u + 0.055) / 1.055, 2.4))
+
+
+def _linear_to_srgb(u):
+    u = jnp.maximum(u, 0.0)
+    return jnp.where(u <= 0.0031308, u * 12.92, 1.055 * _pow(u, 1.0 / 2.4) - 0.055)
+
+
+def _f_cbrt(t):
+    return jnp.where(t > 0.008856, _pow(t, 1.0 / 3.0), 7.787 * t + 16.0 / 116.0)
+
+
+def _f_inv(ft):
+    return jnp.where(ft > 0.2068966, ft * ft * ft, (ft - 16.0 / 116.0) / 7.787)
+
+
+_RGB2XYZ = (
+    (0.412453, 0.357580, 0.180423),
+    (0.212671, 0.715160, 0.072169),
+    (0.019334, 0.119193, 0.950227),
+)
+_XYZ2RGB = tuple(tuple(float(x) for x in row) for row in np.linalg.inv(np.array(_RGB2XYZ)))
+_XN = 0.950456
+_ZN = 1.088754
+
+
+def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
+    """cv2-parity LAB gamma roundtrip + BGR2GRAY on f32 planes in [0, 255].
+
+    Channels are in *stored* order — the reference feeds BGR data through
+    COLOR_RGB2LAB (aruco_detect.py:255), and we reproduce that bit of
+    behavior faithfully.  Shared by the Pallas kernel and the XLA patch pass
+    so both produce identical values.
+    """
+    rl = _srgb_to_linear(c0 * (1.0 / 255.0))
+    gl = _srgb_to_linear(c1 * (1.0 / 255.0))
+    bl = _srgb_to_linear(c2 * (1.0 / 255.0))
+    m = _RGB2XYZ
+    x = m[0][0] * rl + m[0][1] * gl + m[0][2] * bl
+    y = m[1][0] * rl + m[1][1] * gl + m[1][2] * bl
+    z = m[2][0] * rl + m[2][1] * gl + m[2][2] * bl
+    fx = _f_cbrt(x * (1.0 / _XN))
+    fy = _f_cbrt(y)
+    fz = _f_cbrt(z * (1.0 / _ZN))
+    big_l = jnp.where(y > 0.008856, 116.0 * fy - 16.0, 903.3 * y)
+    # cv2 quantizes L/a/b to uint8 before the LUT is applied.
+    l_u8 = jnp.clip(jnp.round(big_l * (255.0 / 100.0)), 0.0, 255.0)
+    a_u8 = jnp.clip(jnp.round(500.0 * (fx - fy) + 128.0), 0.0, 255.0)
+    b_u8 = jnp.clip(jnp.round(200.0 * (fy - fz) + 128.0), 0.0, 255.0)
+    # Reference LUT truncates: uint8 cast of (i/255)^gamma * 255.
+    l2 = jnp.floor(jnp.clip(_pow(l_u8 * (1.0 / 255.0), gamma) * 255.0, 0.0, 255.0))
+    ll = l2 * (100.0 / 255.0)
+    aa = a_u8 - 128.0
+    bb = b_u8 - 128.0
+    fy2 = (ll + 16.0) / 116.0
+    fx2 = fy2 + aa * (1.0 / 500.0)
+    fz2 = fy2 - bb * (1.0 / 200.0)
+    x2 = _f_inv(fx2) * _XN
+    y2 = jnp.where(ll > 8.0, fy2 * fy2 * fy2, ll * (1.0 / 903.3))
+    z2 = _f_inv(fz2) * _ZN
+    mi = _XYZ2RGB
+    r2 = _linear_to_srgb(mi[0][0] * x2 + mi[0][1] * y2 + mi[0][2] * z2)
+    g2 = _linear_to_srgb(mi[1][0] * x2 + mi[1][1] * y2 + mi[1][2] * z2)
+    b2 = _linear_to_srgb(mi[2][0] * x2 + mi[2][1] * y2 + mi[2][2] * z2)
+    r8 = jnp.clip(jnp.round(r2 * 255.0), 0.0, 255.0)
+    g8 = jnp.clip(jnp.round(g2 * 255.0), 0.0, 255.0)
+    b8 = jnp.clip(jnp.round(b2 * 255.0), 0.0, 255.0)
+    # BGR2GRAY on stored order (c0=B, c1=G, c2=R): cv2 fixed-point weights.
+    gray = jnp.floor((4899.0 * b8 + 9617.0 * g8 + 1868.0 * r8 + 8192.0) * (1.0 / 16384.0))
+    return r8, g8, b8, jnp.clip(gray, 0.0, 255.0)
+
+
+def _make_kernel(dims: "_PlanDims", gamma: float):
+    rh, rw, dy, dx = dims.rh, dims.rw, dims.dy, dims.dx
+    nty, ntx = dims.height // TH, dims.width // TW
+    tiles = nty * ntx
+
+    def kernel(off_ref, yres_ref, lxres_ref, src_ref, out_ref, gray_ref, s_u8, sem):
+        b = pl.program_id(0)
+        ti = pl.program_id(1)
+        tj = pl.program_id(2)
+        step = (b * nty + ti) * ntx + tj
+        slot = jax.lax.rem(step, 2)
+
+        def dmas(slot_, bb, tti, ttj):
+            base = (tti * ntx + ttj) * 4
+            oy = pl.multiple_of(off_ref[base + 0], ALIGN_Y)
+            ox = pl.multiple_of(off_ref[base + 1], ALIGN_X)
+            return [
+                pltpu.make_async_copy(
+                    src_ref.at[bb, ch, pl.ds(oy, rh), pl.ds(ox, rw)],
+                    s_u8.at[slot_, ch],
+                    sem.at[slot_, ch],
+                )
+                for ch in range(3)
+            ]
+
+        # Double buffering: first step primes its own slot; every step then
+        # prefetches the next tile's window into the other slot.
+        @pl.when(step == 0)
+        def _():
+            for d in dmas(slot, b, ti, tj):
+                d.start()
+
+        nstep = step + 1
+
+        @pl.when(nstep < pl.num_programs(0) * tiles)
+        def _():
+            nb = nstep // tiles
+            rem = jax.lax.rem(nstep, tiles)
+            ni = rem // ntx
+            nj = jax.lax.rem(rem, ntx)
+            for d in dmas(1 - slot, nb, ni, nj):
+                d.start()
+
+        for d in dmas(slot, b, ti, tj):
+            d.wait()
+
+        base = (ti * ntx + tj) * 4
+        shifty = off_ref[base + 2]
+        shiftx = off_ref[base + 3]
+        yres = yres_ref[0, 0]  # (TH, RW)
+        lxres = lxres_ref[0, 0]  # (TH, TW)
+        planes = []
+        for ch in range(3):
+            s = s_u8[slot, ch].astype(jnp.int32).astype(jnp.float32)  # (RH, RW)
+            s = pltpu.roll(s, shift=shifty, axis=0)
+            # Vertical bilinear as a short static shift-MAC chain.
+            v = jnp.zeros((TH, rw), jnp.float32)
+            for d in range(dy):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(yres - float(d)))
+                v = v + w * s[d : d + TH, :]
+            # Horizontal.
+            v = pltpu.roll(v, shift=shiftx, axis=1)
+            o = jnp.zeros((TH, TW), jnp.float32)
+            for e in range(dx):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(lxres - float(e)))
+                o = o + w * v[:, e : e + TW]
+            # cv2.remap writes uint8 before the LAB stage.
+            planes.append(jnp.clip(jnp.round(o), 0.0, 255.0))
+
+        c0, c1, c2, gray = lab_gamma_gray_f32(planes[0], planes[1], planes[2], gamma)
+        out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
+        gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
+
+    return kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class _PlanDims:
+    """Hashable static geometry of a RemapPlan (jit static arg)."""
+
+    width: int
+    height: int
+    pad_x: int
+    pad_y: int
+    padded_w: int
+    padded_h: int
+    dy: int
+    dx: int
+    rh: int
+    rw: int
+    nwild: int
+    wild_tiles: tuple = ()  # ((ti, tj), ...) static tile coords
+
+
+class PallasPreprocessor:
+    """Fused TPU preprocessing: planar uint8 frames -> (undistorted+gamma, gray).
+
+    Usage:
+        pre = PallasPreprocessor(mtx, dist, (3840, 2160))
+        out, gray = pre(frames)   # frames: (B, 3, H, W) uint8 planar
+    """
+
+    def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False):
+        self.plan = build_remap_plan(mtx, dist, size_wh)
+        self.gamma = float(gamma)
+        self.interpret = interpret
+        p = self.plan
+        self._offsets = jnp.asarray(p.offsets)
+        self._yres = jnp.asarray(p.yres)
+        self._lxres = jnp.asarray(p.lxres)
+        self._wild_map = jnp.asarray(p.wild_map)
+        self._dims = _PlanDims(
+            width=p.width, height=p.height, pad_x=p.pad_x, pad_y=p.pad_y,
+            padded_w=p.padded_w, padded_h=p.padded_h, dy=p.dy, dx=p.dx,
+            rh=p.rh, rw=p.rw, nwild=len(p.wild_yx),
+            wild_tiles=tuple((int(a), int(b)) for a, b in p.wild_yx),
+        )
+
+    def __call__(self, frames: jax.Array):
+        return _fused_preproc(
+            frames, self._offsets, self._yres, self._lxres, self._wild_map,
+            dims=self._dims, gamma=self.gamma, interpret=self.interpret,
+        )
+
+
+def _bilinear_planar(padded, map_xy):
+    """XLA bilinear gather on a planar (3, Hp, Wp) uint8 image.
+
+    map_xy: (..., 2) f32 padded coords. Returns (..., 3) f32 (unrounded).
+    """
+    hp, wp = padded.shape[-2], padded.shape[-1]
+    x = map_xy[..., 0]
+    y = map_xy[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, wp - 2)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, hp - 2)
+    flat = padded.reshape(3, hp * wp).T.astype(jnp.float32)  # (Hp*Wp, 3)
+    idx00 = y0i * wp + x0i
+    p00 = jnp.take(flat, idx00, axis=0)
+    p01 = jnp.take(flat, idx00 + 1, axis=0)
+    p10 = jnp.take(flat, idx00 + wp, axis=0)
+    p11 = jnp.take(flat, idx00 + wp + 1, axis=0)
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    return (p00 * (1 - wxe) + p01 * wxe) * (1 - wye) + (p10 * (1 - wxe) + p11 * wxe) * wye
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret"))
+def _fused_preproc(frames, offsets, yres, lxres, wild_map,
+                   *, dims: _PlanDims, gamma: float, interpret: bool):
+    if frames.ndim != 4 or frames.shape[1] != 3:
+        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
+    bsz, _, h, w = frames.shape
+    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    padded = jnp.pad(
+        frames,
+        ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y), (dims.pad_x, dims.padded_w - w - dims.pad_x)),
+    )
+    nty, ntx = h // TH, w // TW
+    kernel = _make_kernel(dims, gamma)
+    out, gray = pl.pallas_call(
+        kernel,
+        grid=(bsz, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat offset table
+            pl.BlockSpec((1, 1, TH, dims.rw), lambda b, i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, TW), lambda b, i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, TH, TW), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, 3, h, w), jnp.uint8),
+            jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, dims.rh, dims.rw), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )(offsets, yres, lxres, padded)
+
+    if dims.nwild:
+        # Exact XLA patch for the few wild border tiles; applied as chained
+        # dynamic-update-slices at static offsets (XLA updates in place).
+        def patch_one(padded_b):
+            vals = _bilinear_planar(padded_b, wild_map)  # (nw, TH, TW, 3)
+            rem = jnp.clip(jnp.round(vals), 0.0, 255.0)
+            c0, c1, c2, g = lab_gamma_gray_f32(rem[..., 0], rem[..., 1], rem[..., 2], gamma)
+            rgb = jnp.stack([c0, c1, c2], axis=1).astype(jnp.uint8)  # (nw, 3, TH, TW)
+            return rgb, g.astype(jnp.uint8)  # (nw, TH, TW)
+
+        rgb_patches, gray_patches = jax.vmap(patch_one)(padded)  # (B, nw, 3, TH, TW)
+        for k, (ti, tj) in enumerate(dims.wild_tiles):
+            r0, c0_ = ti * TH, tj * TW
+            out = jax.lax.dynamic_update_slice(out, rgb_patches[:, k], (0, 0, r0, c0_))
+            gray = jax.lax.dynamic_update_slice(gray, gray_patches[:, k], (0, r0, c0_))
+    return out, gray

@@ -39,8 +39,8 @@ def test_gamma_matches_reference_lut():
         lut[i] = np.clip(pow(i / 255.0, 2) * 255.0, 0, 255)
     vals = np.arange(256, dtype=np.uint8)
     got = np.asarray(cs.gamma_l_channel(jnp.asarray(vals), gamma=2.0))
-    # The reference LUT truncates (C cast); we round. Allow 1 LSB.
-    assert np.abs(got.astype(int) - lut.astype(int)).max() <= 1
+    # Exact match: both truncate.
+    assert (got == lut).all()
 
 
 def test_full_gamma_pipeline_close_to_cv2():

@@ -1,0 +1,82 @@
+"""Fused Pallas preproc kernel vs the OpenCV reference chain (interpret mode).
+
+Runs the kernel in Pallas interpret mode on CPU; the same kernel is compiled
+for TPU at runtime (verified on hardware via bench.py / the verify recipe).
+"""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from apse_uav_tpu.core import camera
+from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
+
+
+def _scaled_cam(w, h):
+    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx = mtx.copy()
+    mtx[0] *= w / 3840.0
+    mtx[1] *= h / 2160.0
+    return mtx, dist
+
+
+def _reference_chain(img, mtx, dist, w, h):
+    mapx, mapy = cv2.initUndistortRectifyMap(mtx, dist.reshape(-1, 1), None, mtx, (w, h), cv2.CV_32FC1)
+    out = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    lut = np.clip((np.arange(256) / 255.0) ** 2 * 255.0, 0, 255).astype(np.uint8)
+    lab = cv2.cvtColor(out, cv2.COLOR_RGB2LAB)
+    lab[..., 0] = cv2.LUT(lab[..., 0], lut)
+    out = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return out, cv2.cvtColor(out, cv2.COLOR_BGR2GRAY)
+
+
+def test_fused_kernel_matches_cv2_chain():
+    h, w = 16 * 8, 256 * 2
+    mtx, dist = _scaled_cam(w, h)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 17.0) * np.cos(yy / 23.0),
+            128 + 90 * np.cos(xx / 29.0 + 1.0),
+            128 + 80 * np.sin(yy / 13.0 + 2.0),
+        ],
+        -1,
+    ).clip(0, 255).astype(np.uint8)
+    ref, ref_gray = _reference_chain(img, mtx, dist, w, h)
+
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True)
+    out, gray = pre(jnp.asarray(img.transpose(2, 0, 1)[None]))
+    out = np.asarray(out)[0].transpose(1, 2, 0).astype(np.int32)
+    gray = np.asarray(gray)[0].astype(np.int32)
+
+    d = np.abs(out - ref.astype(np.int32))
+    dg = np.abs(gray - ref_gray.astype(np.int32))
+    # cv2 uses 5-bit fixed-point remap weights and fixed-point Lab tables;
+    # small LSB drift amplifies through the gamma curve.  What matters for
+    # detection parity is the gray channel and that big deviations are rare.
+    assert (d > 2).mean() < 0.02, ((d > 2).mean(), d.max())
+    assert (dg > 2).mean() < 0.01, ((dg > 2).mean(), dg.max())
+    assert (dg > 1).mean() < 0.05
+
+
+def test_fused_kernel_batched_and_shapes():
+    h, w = 16 * 4, 256 * 2
+    mtx, dist = _scaled_cam(w, h)
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True)
+    frames = np.random.default_rng(0).integers(0, 256, (3, 3, h, w), dtype=np.uint8)
+    out, gray = pre(jnp.asarray(frames))
+    assert out.shape == (3, 3, h, w) and out.dtype == jnp.uint8
+    assert gray.shape == (3, h, w) and gray.dtype == jnp.uint8
+
+
+def test_plan_cache_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("HOME", str(tmp_path))
+    h, w = 16 * 2, 256
+    mtx, dist = _scaled_cam(w, h)
+    from apse_uav_tpu.preproc.pallas_remap import build_remap_plan
+
+    p1 = build_remap_plan(mtx, dist, (w, h))
+    p2 = build_remap_plan(mtx, dist, (w, h))  # from cache
+    assert p1.dy == p2.dy and p1.dx == p2.dx
+    np.testing.assert_array_equal(p1.offsets, p2.offsets)
+    np.testing.assert_array_equal(p1.yres, p2.yres)
