@@ -1,0 +1,546 @@
+"""TPU-native ArUco detector: fixed-shape, vmap-friendly, gather-light.
+
+Replaces cv2.aruco.detectMarkers with CORNER_REFINE_APRILTAG (reference
+aruco_detect.py:261-269 with tuned params :194-202).  The C++ implementation
+is pointer-chasing (union-find clustering, contour tracing); this is a
+re-derivation for dense hardware:
+
+1. **Proposals** — dark-square blob scores from integral-image box sums at a
+   fixed scale pyramid, evaluated on a stride-4 grid (pure slicing, no
+   gathers), local-max + top-K -> K fixed candidate slots.
+2. **Quad extraction** — per candidate (vmapped): a fixed 64x64 resampled
+   window, 2-means binarization, radial 90-degree-periodic corner finding
+   (segment max over angular sectors), then subpixel refinement by fitting
+   each edge line to gradient-weighted edge crossings sampled in native
+   image coordinates (the AprilTag idea, as dense math), corners = line
+   intersections.
+3. **Decode** — perspective bit sampling on a 6x6 cell grid with the
+   reference's margin semantics (perspectiveRemovePixelPerCell=8,
+   IgnoredMarginPerCell=0.33), Otsu-split threshold over cell means, border
+   validation, DICT_4X4_50 match with errorCorrectionRate=2.0, canonical
+   corner rotation, and score-based dedup of overlapping candidates.
+
+Everything is static-shape: ``detect`` returns K candidate slots with a
+validity mask, batched over frames with vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apse_uav_tpu.aruco import dictionary as dict_mod
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorParams:
+    """Tuned to mirror the reference's detector configuration."""
+
+    max_candidates: int = 16  # K candidate slots per frame
+    max_line_fit_mse: float = 1.5  # aprilTagMaxLineFitMse spirit (px^2)
+    scales: tuple = (10, 14, 20, 28, 40, 56, 80, 112, 160)  # marker side, px
+    proposal_stride: int = 4
+    adaptive_const: float = 7.0  # adaptiveThreshConstant
+    score_threshold: float = 0.32  # min dark-square blob score
+    min_white_black_diff: float = 30.0  # contrast gate (apriltagMinWhiteBlackDiff spirit)
+    window: int = 64  # resampled candidate window size
+    edge_points: int = 24  # samples per edge for line fitting
+    error_correction_rate: float = 2.0
+    max_border_errors: float = 0.35  # maxErroneousBitsInBorderRate semantics
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: proposals
+# ---------------------------------------------------------------------------
+
+
+def _integral(img: Array) -> Array:
+    """Zero-padded 2D integral image: ii[y, x] = sum img[:y, :x]."""
+    ii = jnp.cumsum(jnp.cumsum(img, axis=0), axis=1)
+    return jnp.pad(ii, ((1, 0), (1, 0)))
+
+
+def _box_sum(ii: Array, y0: Array, x0: Array, size_y: int, size_x: int) -> Array:
+    """Box sums via 4 strided slices; y0/x0 are *arrays of slice origins*."""
+    return (
+        ii[y0 + size_y, :][:, x0 + size_x]
+        - ii[y0 + size_y, :][:, x0]
+        - ii[y0, :][:, x0 + size_x]
+        + ii[y0, :][:, x0]
+    )
+
+
+def _proposals(gray: Array, p: DetectorParams):
+    """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,)."""
+    h, w = gray.shape
+    st = p.proposal_stride
+    g = gray.astype(jnp.float32)
+    ii = _integral(g)
+
+    def mean_box(size):
+        # Slice origins keep boxes fully inside the image -> count == size^2.
+        size = int(size)
+        ys = jnp.arange(0, h - size + 1, st)
+        xs = jnp.arange(0, w - size + 1, st)
+        s = _box_sum(ii, ys, xs, size, size)
+        return s / float(size * size), ys, xs
+
+    # Dark-fraction maps need a binary image; approximate the adaptive
+    # threshold by comparing *box means* directly: for a marker of side s
+    # centred in the box, inner mean is much darker than the surrounding
+    # ring mean.  This is contrast-normalized below.
+    ny = (h - 0 - 1) // st + 1
+    nx = (w - 0 - 1) // st + 1
+    scores = []
+    metas = []
+    for s in p.scales:
+        s = int(s)
+        ring = int(round(s * 1.8))
+        if ring >= min(h, w):
+            continue
+        inner_m, ys_i, xs_i = mean_box(s)
+        ring_m, ys_r, xs_r = mean_box(ring)
+        # Align: inner box centred inside ring box -> offset (ring-s)//2.
+        off = (ring - s) // 2 // st
+        n_y = min(inner_m.shape[0] - 2 * off if off else inner_m.shape[0], ring_m.shape[0])
+        n_x = min(inner_m.shape[1] - 2 * off if off else inner_m.shape[1], ring_m.shape[1])
+        inner_c = inner_m[off : off + n_y, off : off + n_x]
+        ring_c = ring_m[:n_y, :n_x]
+        ring_area = float(ring * ring)
+        inner_area = float(s * s)
+        outer_mean = (ring_c * ring_area - inner_c * inner_area) / (ring_area - inner_area)
+        contrast = jnp.maximum(outer_mean - inner_c, 0.0)
+        # Score: dark inner vs bright surround, contrast-gated.
+        sc = jnp.where(contrast >= p.min_white_black_diff, contrast / 255.0, 0.0)
+        # Pad to a common fixed grid so scales stack.
+        sc_full = jnp.zeros((ny, nx), jnp.float32)
+        sc_full = jax.lax.dynamic_update_slice(sc_full, sc, (0, 0))
+        scores.append(sc_full)
+        metas.append((s, off * st + 0))
+    stack = jnp.stack(scores)  # (S, ny, nx)
+
+    # Local maxima over space and scale (3x3x3 neighborhood).
+    def maxpool3(a):
+        a_p = jnp.pad(a, ((1, 1), (1, 1), (1, 1)), constant_values=-jnp.inf)
+        out = a
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    out = jnp.maximum(out, a_p[1 + dz : 1 + dz + a.shape[0], 1 + dy : 1 + dy + a.shape[1], 1 + dx : 1 + dx + a.shape[2]])
+        return out
+
+    is_max = (stack >= maxpool3(stack)) & (stack > p.score_threshold)
+    flat = jnp.where(is_max, stack, 0.0).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, p.max_candidates)
+    si = idx // (ny * nx)
+    rem = idx % (ny * nx)
+    iy = rem // nx
+    ix = rem % nx
+    sizes = jnp.asarray([m[0] for m in metas], jnp.float32)[si]
+    offs = jnp.asarray([m[1] for m in metas], jnp.float32)[si]
+    # Candidate centre in image coords: box origin + s/2 (+ scale offset).
+    cy = iy.astype(jnp.float32) * st + offs + sizes / 2.0
+    cx = ix.astype(jnp.float32) * st + offs + sizes / 2.0
+    valid = vals > p.score_threshold
+    return jnp.stack([cy, cx], axis=-1), sizes, vals, valid
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: quad extraction
+# ---------------------------------------------------------------------------
+
+
+def _bilinear(gray: Array, yx: Array) -> Array:
+    """Bilinear sample gray at (..., 2) float yx coords (clamped)."""
+    h, w = gray.shape
+    y = jnp.clip(yx[..., 0], 0.0, h - 1.001)
+    x = jnp.clip(yx[..., 1], 0.0, w - 1.001)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = y - y0
+    wx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    flat = gray.reshape(-1)
+    i00 = y0i * w + x0i
+    p00 = jnp.take(flat, i00)
+    p01 = jnp.take(flat, i00 + 1)
+    p10 = jnp.take(flat, i00 + w)
+    p11 = jnp.take(flat, i00 + w + 1)
+    return (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
+
+
+def _extract_window(gray: Array, center_yx: Array, size: Array, win: int):
+    """Resample a win x win window covering 2.4*size around the centre.
+
+    Returns (window (win, win) f32, scale px-per-window-px, origin yx)."""
+    span = 2.4 * size
+    scale = span / win
+    r = jnp.arange(win, dtype=jnp.float32)
+    oy = center_yx[0] - span / 2.0
+    ox = center_yx[1] - span / 2.0
+    yy = oy + (r[:, None] + 0.5) * scale
+    xx = ox + (r[None, :] + 0.5) * scale
+    yx = jnp.stack([jnp.broadcast_to(yy, (win, win)), jnp.broadcast_to(xx, (win, win))], axis=-1)
+    return _bilinear(gray, yx), scale, jnp.stack([oy, ox])
+
+
+def _binarize(winimg: Array):
+    """2-means (Ridler-Calvard) threshold; returns (dark mask, lo, hi)."""
+    t = (jnp.min(winimg) + jnp.max(winimg)) / 2.0
+
+    def body(_, t):
+        lo_m = jnp.sum(jnp.where(winimg < t, winimg, 0.0)) / jnp.maximum(jnp.sum(winimg < t), 1)
+        hi_m = jnp.sum(jnp.where(winimg >= t, winimg, 0.0)) / jnp.maximum(jnp.sum(winimg >= t), 1)
+        return (lo_m + hi_m) / 2.0
+
+    t = jax.lax.fori_loop(0, 4, body, t)
+    lo = jnp.sum(jnp.where(winimg < t, winimg, 0.0)) / jnp.maximum(jnp.sum(winimg < t), 1)
+    hi = jnp.sum(jnp.where(winimg >= t, winimg, 0.0)) / jnp.maximum(jnp.sum(winimg >= t), 1)
+    return winimg < t, lo, hi
+
+
+def _largest_component(dark: Array, win: int, iters: int = 48) -> Array:
+    """Largest 4-connected component of the dark mask (label propagation).
+
+    Isolates the marker blob from nearby dark clutter (LED panels, asphalt
+    at the window edge) before corner extraction.  The marker is separated
+    from such clutter by the white roof margin, so components are distinct.
+    """
+    n = win * win
+    idx = jnp.arange(n, dtype=jnp.int32).reshape(win, win)
+    sentinel = jnp.int32(n)
+    labels = jnp.where(dark, idx, sentinel)
+
+    def step(_, lab):
+        padded = jnp.pad(lab, 1, constant_values=sentinel)
+        neigh = jnp.minimum(
+            jnp.minimum(padded[:-2, 1:-1], padded[2:, 1:-1]),
+            jnp.minimum(padded[1:-1, :-2], padded[1:-1, 2:]),
+        )
+        return jnp.where(dark, jnp.minimum(lab, neigh), sentinel)
+
+    labels = jax.lax.fori_loop(0, iters, step, labels)
+    flat = labels.reshape(-1)
+    counts = jax.ops.segment_sum(jnp.ones_like(flat), flat, num_segments=n + 1)
+    counts = counts.at[n].set(0)  # ignore the sentinel
+    biggest = jnp.argmax(counts).astype(jnp.int32)
+    return labels == biggest
+
+
+def _coarse_corners(dark: Array, win_img: Array, win: int):
+    """Quad corners of the dark blob via support-line fitting.
+
+    1. Quad orientation from the gradient-angle distribution (quadruple-angle
+       circular mean — a square's four edge normals coincide mod 90 deg).
+    2. For each of the four oriented directions, the outer edge line is the
+       support plane of the blob: robustly, the mean projection over the
+       1.5-px strip at the support maximum.
+    3. Corners = intersections of adjacent support lines.
+
+    Uses every border pixel, so eroded corner tips and interior cell
+    patterns don't bias the estimate (unlike radial-extreme methods).
+    Returns (4, 2) yx window coords and a quality flag.
+    """
+    r = jnp.arange(win, dtype=jnp.float32)
+    yy = jnp.broadcast_to(r[:, None], (win, win))
+    xx = jnp.broadcast_to(r[None, :], (win, win))
+
+    # Gradient orientation, weighted by squared magnitude, near the blob only.
+    gy = jnp.zeros_like(win_img).at[1:-1, :].set((win_img[2:, :] - win_img[:-2, :]) * 0.5)
+    gx = jnp.zeros_like(win_img).at[:, 1:-1].set((win_img[:, 2:] - win_img[:, :-2]) * 0.5)
+    near = dark
+    for _ in range(2):  # dilate by 1 twice: gradients live on the blob rim
+        p = jnp.pad(near, 1)
+        near = p[1:-1, 1:-1] | p[:-2, 1:-1] | p[2:, 1:-1] | p[1:-1, :-2] | p[1:-1, 2:]
+    wgt = jnp.where(near, gx * gx + gy * gy, 0.0)
+    phi = jnp.arctan2(gy, gx)
+    zr = jnp.sum(wgt * jnp.cos(4.0 * phi))
+    zi = jnp.sum(wgt * jnp.sin(4.0 * phi))
+    theta = jnp.arctan2(zi, zr) / 4.0  # edge-normal direction mod 90 deg
+
+    def support_line(k):
+        a = theta + k * (jnp.pi / 2.0)
+        ny_, nx_ = jnp.sin(a), jnp.cos(a)
+        proj = jnp.where(dark, ny_ * yy + nx_ * xx, -jnp.inf)
+        pmax = jnp.max(proj)
+        strip = dark & (proj > pmax - 1.5)
+        wsum = jnp.maximum(jnp.sum(strip), 1)
+        c = jnp.sum(jnp.where(strip, proj, 0.0)) / wsum
+        return jnp.stack([ny_, nx_, c]), pmax
+
+    lines, pmaxs = jax.vmap(support_line)(jnp.arange(4, dtype=jnp.float32))
+
+    def corner(i):
+        l1, l2 = lines[i], lines[(i + 1) % 4]
+        det = l1[0] * l2[1] - l2[0] * l1[1]
+        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+        y = (l1[2] * l2[1] - l2[2] * l1[1]) / det
+        x = (l1[0] * l2[2] - l2[0] * l1[2]) / det
+        return jnp.stack([y, x])
+
+    corners = jax.vmap(corner)(jnp.arange(4))
+    # Quality: blob must actually be extended in all four directions.
+    extent = pmaxs[0] + pmaxs[2]  # width along theta + along theta+180
+    ok = jnp.isfinite(extent) & (jnp.sum(dark) > 30) & jnp.all(jnp.isfinite(corners))
+    return corners, ok
+
+
+def _order_clockwise(corners_yx: Array) -> Array:
+    """Order 4 corners clockwise in image coords (y down) by angle."""
+    c = jnp.mean(corners_yx, axis=0)
+    ang = jnp.arctan2(corners_yx[:, 0] - c[0], corners_yx[:, 1] - c[1])
+    order = jnp.argsort(ang)  # increasing angle = clockwise when y is down
+    return corners_yx[order]
+
+
+def _refine_edges(
+    gray: Array,
+    corners_img: Array,
+    n_pts: int,
+    spacing: Array,
+    step_scale: float = 1.0,
+    n_taps: int = 7,
+):
+    """Subpixel edge-line fit by gradient-weighted crossings + TLS.
+
+    For each edge, sample perpendicular gradient profiles at n_pts points,
+    find the gradient-weighted crossing, and total-least-squares fit a line.
+    Corners = intersections of adjacent lines.  corners_img: (4, 2) yx,
+    clockwise.  spacing: approx px per sample step (scalar).  The
+    perpendicular reach (n_taps * step) must stay below the marker border
+    width or the profile sees both border edges.
+    """
+    half_t = n_taps // 2
+    taps = jnp.arange(-half_t, half_t + 1, dtype=jnp.float32)
+
+    def edge_line(a, b):
+        t = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
+        # Trim ends so corner regions don't pollute the fit.
+        t = 0.12 + t * 0.76
+        pts = a[None, :] * (1 - t[:, None]) + b[None, :] * t[:, None]  # (P, 2)
+        d = b - a
+        norm = jnp.maximum(jnp.linalg.norm(d), 1e-6)
+        nvec = jnp.stack([-d[1], d[0]]) / norm  # perpendicular (yx)
+        step = jnp.maximum(spacing * 0.6, 0.35) * step_scale
+        samp = pts[:, None, :] + nvec[None, None, :] * (taps[None, :, None] * step)
+        vals = _bilinear(gray, samp)  # (P, 7)
+        grad = vals[:, 1:] - vals[:, :-1]  # (P, 6) directional derivative
+        gmag = jnp.abs(grad)
+        pos = (taps[:-1] + 0.5)  # tap midpoints
+        # Points whose gradient peak sits at the profile extremes have the
+        # edge out of reach — exclude them from the fit entirely.
+        peak = jnp.argmax(gmag, axis=1)
+        reliable = (peak > 0) & (peak < gmag.shape[1] - 1)
+        wsum = jnp.maximum(jnp.sum(gmag, axis=1), 1e-6)
+        off = jnp.sum(gmag * pos[None, :], axis=1) / wsum * step  # (P,)
+        edge_pts = pts + nvec[None, :] * off[:, None]
+        wts = jnp.where(reliable, wsum, 0.0)
+        wts = jnp.where(jnp.sum(wts) > 1e-6, wts, wsum)  # fallback: keep all
+        # TLS line fit: normal = eigvec of smallest eigenvalue of covariance.
+        wsumt = jnp.sum(wts)
+        mean = jnp.sum(edge_pts * wts[:, None], axis=0) / wsumt
+        d0 = edge_pts - mean
+        sxx = jnp.sum(wts * d0[:, 1] * d0[:, 1])
+        syy = jnp.sum(wts * d0[:, 0] * d0[:, 0])
+        sxy = jnp.sum(wts * d0[:, 1] * d0[:, 0])
+        # Normal direction (a, b) with a*y + b*x + c = 0: smallest-eigvec of
+        # [[syy, sxy], [sxy, sxx]].
+        tr = syy + sxx
+        det = syy * sxx - sxy * sxy
+        lam = tr / 2.0 - jnp.sqrt(jnp.maximum(tr * tr / 4.0 - det, 0.0))
+        # (syy - lam) a + sxy b = 0
+        a_n = jnp.where(jnp.abs(sxy) > 1e-9, sxy, 0.0)
+        b_n = jnp.where(jnp.abs(sxy) > 1e-9, lam - syy, 1.0)
+        a_n, b_n = jnp.where(jnp.abs(sxy) > 1e-9, a_n, jnp.where(syy <= sxx, 1.0, 0.0)), jnp.where(
+            jnp.abs(sxy) > 1e-9, b_n, jnp.where(syy <= sxx, 0.0, 1.0)
+        )
+        nrm = jnp.maximum(jnp.sqrt(a_n * a_n + b_n * b_n), 1e-9)
+        a_n, b_n = a_n / nrm, b_n / nrm
+        c_n = -(a_n * mean[0] + b_n * mean[1])
+        # Weighted mean squared residual (px^2) — the AprilTag line-fit MSE.
+        resid = a_n * edge_pts[:, 0] + b_n * edge_pts[:, 1] + c_n
+        mse = jnp.sum(wts * resid * resid) / jnp.maximum(wsumt, 1e-6)
+        return jnp.stack([a_n, b_n, c_n]), mse
+
+    fits = [edge_line(corners_img[i], corners_img[(i + 1) % 4]) for i in range(4)]
+    lines = jnp.stack([f[0] for f in fits])
+    max_mse = jnp.max(jnp.stack([f[1] for f in fits]))
+
+    def intersect(l1, l2):
+        # a1 y + b1 x + c1 = 0; a2 y + b2 x + c2 = 0
+        det = l1[0] * l2[1] - l2[0] * l1[1]
+        det = jnp.where(jnp.abs(det) < 1e-9, 1e-9, det)
+        y = (-l1[2] * l2[1] + l2[2] * l1[1]) / det
+        x = (-l1[0] * l2[2] + l2[0] * l1[2]) / det
+        return jnp.stack([y, x])
+
+    refined = jnp.stack([intersect(lines[(i - 1) % 4], lines[i]) for i in range(4)])
+    return refined, max_mse
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: decoding
+# ---------------------------------------------------------------------------
+
+
+def _homography_unit_square(corners_xy: Array) -> Array:
+    """Exact homography mapping the unit square (0,0),(1,0),(1,1),(0,1) to 4
+    corners (x, y) order. Returns 3x3 H."""
+    x0, y0 = corners_xy[0, 0], corners_xy[0, 1]
+    x1, y1 = corners_xy[1, 0], corners_xy[1, 1]
+    x2, y2 = corners_xy[2, 0], corners_xy[2, 1]
+    x3, y3 = corners_xy[3, 0], corners_xy[3, 1]
+    dx1 = x1 - x2
+    dx2 = x3 - x2
+    dy1 = y1 - y2
+    dy2 = y3 - y2
+    sx = x0 - x1 + x2 - x3
+    sy = y0 - y1 + y2 - y3
+    den = dx1 * dy2 - dx2 * dy1
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    g = (sx * dy2 - sy * dx2) / den
+    hh = (dx1 * sy - dy1 * sx) / den
+    a = x1 - x0 + g * x1
+    b = x3 - x0 + hh * x3
+    c = x0
+    d = y1 - y0 + g * y1
+    e = y3 - y0 + hh * y3
+    f = y0
+    return jnp.array([[a, b, c], [d, e, f], [g, hh, 1.0]])
+
+
+def _sample_cells(gray: Array, corners_yx: Array, samples_per_cell: int = 3):
+    """Mean intensity of each of the 6x6 marker cells (margin 0.33)."""
+    xy = jnp.stack([corners_yx[:, 1], corners_yx[:, 0]], axis=-1)
+    h_mat = _homography_unit_square(xy)
+    n = 6 * samples_per_cell
+    # Sample positions: per cell, an inner grid avoiding 0.33 margin each side.
+    margin = 0.33
+    inner = (jnp.arange(samples_per_cell, dtype=jnp.float32) + 0.5) / samples_per_cell
+    inner = margin + inner * (1.0 - 2 * margin)
+    cell = jnp.arange(6, dtype=jnp.float32)
+    u = (cell[:, None] + inner[None, :]).reshape(-1) / 6.0  # (n,)
+    uu, vv = jnp.meshgrid(u, u)  # (n, n) x, y in unit square
+    ones = jnp.ones_like(uu)
+    p = jnp.stack([uu, vv, ones], axis=-1) @ h_mat.T
+    xy_img = p[..., :2] / p[..., 2:3]
+    vals = _bilinear(gray, jnp.stack([xy_img[..., 1], xy_img[..., 0]], axis=-1))
+    # (6, spc, 6, spc) -> cell means
+    vals = vals.reshape(6, samples_per_cell, 6, samples_per_cell)
+    return vals.mean(axis=(1, 3))  # (6, 6) row-major (v=row, u=col)
+
+
+def _otsu_split(vals36: Array):
+    """Optimal 2-class split threshold over 36 cell means (sort-based)."""
+    v = jnp.sort(vals36.reshape(-1))
+    n = v.shape[0]
+    csum = jnp.cumsum(v)
+    total = csum[-1]
+    k = jnp.arange(1, n)
+    mean_lo = csum[:-1] / k
+    mean_hi = (total - csum[:-1]) / (n - k)
+    between = k * (n - k) * (mean_hi - mean_lo) ** 2
+    i = jnp.argmax(between)
+    return (v[i] + v[i + 1]) / 2.0
+
+
+def _decode_candidate(gray: Array, corners_yx: Array, p: DetectorParams):
+    """Decode one quad: returns (id, rotation, bits_ok)."""
+    cells = _sample_cells(gray, corners_yx)
+    thr = _otsu_split(cells)
+    bits = (cells > thr).astype(jnp.uint32)  # 1 = white
+    # Border must be (mostly) black.
+    border = jnp.concatenate([bits[0, :], bits[5, :], bits[1:5, 0], bits[1:5, 5]])
+    border_errs = jnp.sum(border)
+    border_ok = border_errs <= jnp.floor(20 * p.max_border_errors)
+    inner = bits[1:5, 1:5]
+    packed = jnp.sum(inner.reshape(-1) * (2 ** jnp.arange(15, -1, -1, dtype=jnp.uint32)))
+    ids, rot, dist = dict_mod.match_dictionary(packed[None], p.error_correction_rate)
+    marker_id = jnp.where(border_ok, ids[0], -1)
+    return marker_id, rot[0], border_ok, dist[0]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+class ArucoDetector:
+    """Fixed-shape ArUco detector. ``detect`` handles (H, W) or (B, H, W)."""
+
+    def __init__(self, params: DetectorParams | None = None):
+        self.params = params or DetectorParams()
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def detect(self, gray: Array):
+        if gray.ndim == 3:
+            return jax.vmap(self._detect_one)(gray)
+        return self._detect_one(gray)
+
+    def _detect_one(self, gray: Array):
+        p = self.params
+        g = gray.astype(jnp.float32)
+        centers, sizes, scores, valid = _proposals(g, p)
+
+        def one_candidate(center, size, ok):
+            win, scale, origin = _extract_window(g, center, size, p.window)
+            dark, lo, hi = _binarize(win)
+            contrast_ok = (hi - lo) >= p.min_white_black_diff
+            dark = _largest_component(dark, p.window)
+            coarse, quad_ok = _coarse_corners(dark, win, p.window)
+            coarse_img = origin[None, :] + (coarse + 0.5) * scale
+            # Pass 1: refine in *window space*, where the coarse radial error
+            # is a few pixels and the marker border is ~4.4 px wide: 11 taps
+            # at 0.62 px reach +-3.4 px without crossing both border edges.
+            coarse_w = _order_clockwise(coarse)
+            rough_w, _ = _refine_edges(
+                win, coarse_w, p.edge_points, jnp.float32(1.0), step_scale=1.04, n_taps=11
+            )
+            drift0 = jnp.max(jnp.linalg.norm(rough_w - coarse_w, axis=-1))
+            rough_w = jnp.where(drift0 < 6.0, rough_w, coarse_w)
+            rough = origin[None, :] + (rough_w + 0.5) * scale
+            # Pass 2: subpixel pass at native image resolution.
+            refined, mse = _refine_edges(g, rough, p.edge_points, scale, step_scale=0.8)
+            drift = jnp.max(jnp.linalg.norm(refined - rough, axis=-1))
+            good_refine = drift < 6.0
+            corners = jnp.where(good_refine, refined, rough)
+            mse_ok = (mse < p.max_line_fit_mse) & good_refine
+            marker_id, rot, bits_ok, ham = _decode_candidate(g, corners, p)
+            is_valid = ok & quad_ok & contrast_ok & bits_ok & mse_ok & (marker_id >= 0)
+            # Canonicalize corner order per dictionary rotation: OpenCV
+            # returns corners starting at the canonical top-left, clockwise.
+            corners = jnp.roll(corners, -rot, axis=0)
+            side = jnp.mean(jnp.linalg.norm(corners - jnp.roll(corners, 1, axis=0), axis=-1))
+            return corners, jnp.where(is_valid, marker_id, -1), side, ham
+
+        corners, ids, sides, hams = jax.vmap(one_candidate)(centers, sizes, valid)
+
+        # Dedup overlapping candidates.  Sub-patterns inside a marker can
+        # decode (with corrections) at small scales, so prefer the larger
+        # quad, then the cleaner dictionary match, then the proposal score.
+        k = p.max_candidates
+        cen = jnp.mean(corners, axis=1)  # (K, 2)
+        d2 = jnp.sum((cen[:, None, :] - cen[None, :, :]) ** 2, axis=-1)
+        radius2 = (jnp.maximum(sides[:, None], sides[None, :]) * 0.55) ** 2
+        overlap = d2 < radius2
+        rank = (
+            -hams.astype(jnp.float32) * 1e6
+            + sides * 1e2
+            + scores
+            - jnp.arange(k, dtype=jnp.float32) * 1e-3  # deterministic tie-break
+        )
+        rank = jnp.where(ids >= 0, rank, -jnp.inf)
+        better = rank[None, :] > rank[:, None]
+        suppressed = jnp.any(overlap & better & (ids[None, :] >= 0), axis=1)
+        ids = jnp.where(suppressed, -1, ids)
+
+        # Convert to x, y corner order (OpenCV convention).
+        corners_xy = jnp.stack([corners[..., 1], corners[..., 0]], axis=-1)
+        return corners_xy, ids

@@ -1,0 +1,108 @@
+"""ArUco detector parity tests vs cv2.aruco on synthetic scenes."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from apse_uav_tpu.core import camera
+from apse_uav_tpu.aruco.detector import ArucoDetector
+from apse_uav_tpu.aruco.dictionary import DICT_4X4_50, match_dictionary, marker_image
+from apse_uav_tpu.utils.synthetic import MarkerSpec, render_scene
+
+W, H = 960, 544
+
+
+@pytest.fixture(scope="module")
+def cam():
+    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    ms = mtx.copy()
+    ms[0] *= W / 3840.0
+    ms[1] *= H / 2160.0
+    return ms, dist
+
+
+@pytest.fixture(scope="module")
+def scene(cam):
+    ms, dist = cam
+    specs = [
+        MarkerSpec(4, (0.0, 0.5), 5, leds=0b10110010),
+        MarkerSpec(1, (-4.0, -2.0), 30),
+        MarkerSpec(2, (4.0, 1.5), -20),
+        MarkerSpec(3, (1.5, -2.5), 90),
+    ]
+    img = render_scene(ms, dist, (W, H), specs, altitude=12.0)
+    # Reference preprocessing chain.
+    mapx, mapy = cv2.initUndistortRectifyMap(ms, dist.reshape(-1, 1), None, ms, (W, H), cv2.CV_32FC1)
+    und = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    lut = np.clip((np.arange(256) / 255.0) ** 2 * 255.0, 0, 255).astype(np.uint8)
+    lab = cv2.cvtColor(und, cv2.COLOR_RGB2LAB)
+    lab[..., 0] = cv2.LUT(lab[..., 0], lut)
+    und = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    gray = cv2.cvtColor(und, cv2.COLOR_BGR2GRAY)
+    return specs, gray
+
+
+def test_dictionary_codes_match_cv2():
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_50)
+    for i in [0, 1, 7, 23, 49]:
+        ref = d.generateImageMarker(i, 6)
+        got = marker_image(i)
+        assert (got == ref).all(), i
+
+
+def test_match_dictionary_exact_and_corrected():
+    ids, rot, dist = match_dictionary(jnp.asarray([DICT_4X4_50[13]], jnp.uint32))
+    assert int(ids[0]) == 13 and int(rot[0]) == 0 and int(dist[0]) == 0
+    # Flip two bits: still within the errorCorrectionRate=2.0 budget...
+    corrupted = int(DICT_4X4_50[13]) ^ 0b101
+    ids, rot, dist = match_dictionary(jnp.asarray([corrupted], jnp.uint32))
+    assert int(ids[0]) == 13 and int(dist[0]) == 2
+    # ...but 2-bit correction can also hit other codes; with rate 0 (exact
+    # matching only), the corrupted code must be rejected.
+    ids0, _, _ = match_dictionary(jnp.asarray([corrupted], jnp.uint32), error_correction_rate=0.0)
+    assert int(ids0[0]) == -1
+
+
+def test_match_dictionary_rotations():
+    g = np.array([[(int(DICT_4X4_50[7]) >> (15 - (r * 4 + c))) & 1 for c in range(4)] for r in range(4)])
+    for k in range(4):
+        rot_grid = np.rot90(g, -k)
+        bits = 0
+        for b in rot_grid.reshape(-1):
+            bits = (bits << 1) | int(b)
+        ids, rot, _ = match_dictionary(jnp.asarray([bits], jnp.uint32))
+        assert int(ids[0]) == 7 and int(rot[0]) == k
+
+
+def test_detects_all_markers_matching_cv2(scene, cam):
+    specs, gray = scene
+    ms, dist = cam
+    det = ArucoDetector()
+    corners, ids = det.detect(jnp.asarray(gray))
+    corners, ids = np.asarray(corners), np.asarray(ids)
+    ourmap = {int(ids[i]): corners[i] for i in range(len(ids)) if ids[i] >= 0}
+
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_50)
+    p = cv2.aruco.DetectorParameters()
+    p.minMarkerPerimeterRate = 0.01
+    p.errorCorrectionRate = 2.0
+    p.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_APRILTAG
+    cvc, cvids, _ = cv2.aruco.ArucoDetector(d, p).detectMarkers(gray)
+    assert cvids is not None
+    cvmap = {int(i): c.reshape(4, 2) for c, i in zip(cvc, cvids.ravel())}
+    assert sorted(cvmap) == [1, 2, 3, 4]
+    for i, cv_corners in cvmap.items():
+        assert i in ourmap, f"marker {i} missed"
+        err = np.abs(ourmap[i] - cv_corners).max()
+        # Same corner ORDER as cv2 (canonical rotation) and subpixel parity.
+        assert err < 1.5, (i, err)
+
+
+def test_detect_batched(scene):
+    _, gray = scene
+    det = ArucoDetector()
+    batch = jnp.asarray(np.stack([gray, gray]))
+    corners, ids = det.detect(batch)
+    assert corners.shape[0] == 2 and ids.shape[0] == 2
+    assert set(np.asarray(ids[0])[np.asarray(ids[0]) >= 0].tolist()) >= {1, 2, 3, 4}
