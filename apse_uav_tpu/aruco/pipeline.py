@@ -1,0 +1,326 @@
+"""End-to-end ArUco measurement pipeline: batched front + temporal scan.
+
+Reproduces the reference main loop (aruco_detect.py:571-810) as a TPU-native
+two-part program:
+
+* **Stateless front** (wide, batched over frames): preprocessing
+  (undistort + gamma + gray), marker detection, per-id slot extraction, and
+  unit-length planar pose for all frames at once.
+* **Temporal scan** (lax.scan, cheap per step): the reference's per-frame
+  state machine — temporal false-positive gating (DIFF_MAX, :613,651,678,705),
+  marker-size averaging (:290-304), altitude-dependent marker-length
+  correction (:306-308, stateful across frames), LED panel decoding
+  (:338-373), and inter-vehicle distance measurement (:728-781) — including
+  its stale-value semantics (globals persisting across frames in the
+  original are carry fields here).
+
+Vehicle slots are fixed: index v in 0..3 corresponds to marker id v+1; the
+host car is id 4 (slot 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apse_uav_tpu.aruco import geometry as geo
+from apse_uav_tpu.aruco.detector import ArucoDetector, DetectorParams
+from apse_uav_tpu.aruco.pose import estimate_pose_single_markers
+
+Array = jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class ArucoPipelineConfig:
+    """User flags mirroring the reference constants (aruco_detect.py:13-87)."""
+
+    n_avg: int = 1  # frames for marker-size averaging
+    step_frame: int = 1
+    use_centroid_data: bool = False
+    source_lidar: bool = False
+    leds_threshold: float | None = None
+    use_pallas_preproc: bool = True
+
+    @property
+    def diff_max(self) -> float:
+        # aruco_detect.py:524 — max displacement at 20 m/s.
+        return 2.0 / 3.0 * self.step_frame * 2.0
+
+
+def init_carry(cfg: ArucoPipelineConfig) -> dict[str, Array]:
+    """The temporal state (the reference's cross-frame globals)."""
+    return {
+        "detected_prev": jnp.zeros(4, jnp.int32),
+        "cx_prev": jnp.zeros(4, jnp.float32),
+        "cy_prev": jnp.zeros(4, jnp.float32),
+        "msp_rings": jnp.zeros((4, cfg.n_avg), jnp.float32),
+        "marker_length": jnp.float32(geo.MARKER_LENGTH_ORG),
+        # Stale-able measurement values (the original keeps these as globals
+        # and the CSV can emit them on frames where they weren't recomputed).
+        "altitude_real": jnp.float32(0.0),
+        "leds": jnp.int32(0),
+        "msp_avg": jnp.ones(4, jnp.float32),
+        "size_corr": jnp.ones(4, jnp.float32),
+        "lidar_xy": jnp.zeros(2, jnp.float32),
+        "dist_aruco": jnp.zeros(3, jnp.float32),
+        "dist_aruco_bbox": jnp.zeros(3, jnp.float32),
+        "dist_dcnn": jnp.zeros(3, jnp.float32),
+        "dist_dcnn_bbox": jnp.zeros(3, jnp.float32),
+    }
+
+
+def _slot_by_id(ids: Array, corners: Array):
+    """Fixed per-id slots: ids (K,), corners (K, 4, 2) -> (4,) bool, (4,4,2)."""
+
+    def one(vid):
+        mask = ids == vid
+        present = jnp.any(mask)
+        idx = jnp.argmax(mask)
+        return present, corners[idx]
+
+    present, slot_corners = jax.vmap(one)(jnp.arange(1, 5))
+    return present, slot_corners
+
+
+def _led_value(gray: Array, rvec: Array, tvec: Array, size_corr: Array, altitude_real: Array, mtx, dist, threshold):
+    """detectAndDrawLEDs (aruco_detect.py:338-373)."""
+    pts = geo.project_int(geo.LED_POINTS, rvec, tvec / size_corr, mtx, dist)  # (8,2) x,y
+    if threshold is None:
+        thr = jnp.maximum(190.0 + jnp.trunc(altitude_real), 240.0)
+    else:
+        thr = jnp.float32(threshold)
+    h, w = gray.shape
+
+    def sample(xy):
+        x = xy[0].astype(jnp.int32)
+        y = xy[1].astype(jnp.int32)
+        # Python slicing semantics: gray[y-2:y+3, x-2:x+3] is EMPTY when
+        # y < 2 or x < 2 (negative start wraps past stop); rows/cols beyond
+        # the image are clipped.  Sum over the window / 25 either way.
+        dy = jnp.arange(5)
+        ys = y - 2 + dy
+        xs = x - 2 + dy
+        vy = (ys >= 0) & (ys < h)
+        vx = (xs >= 0) & (xs < w)
+        ysc = jnp.clip(ys, 0, h - 1)
+        xsc = jnp.clip(xs, 0, w - 1)
+        vals = gray[ysc][:, xsc].astype(jnp.float32)
+        vals = vals * vy[:, None] * vx[None, :]
+        empty = (y < 2) | (x < 2)
+        return jnp.where(empty, 0.0, jnp.sum(vals) / 25.0)
+
+    vals = jax.vmap(sample)(pts)  # (8,)
+    bits = (vals > thr).astype(jnp.int32)
+    weights = 2 ** jnp.arange(7, -1, -1)
+    return jnp.sum(bits * weights)
+
+
+class ArucoPipeline:
+    """Batched, jitted ArUco measurement pipeline.
+
+    Usage:
+        pipe = ArucoPipeline(mtx, dist, (3840, 2160), cfg)
+        carry = init_carry(cfg)
+        carry, out = pipe.process(frames_u8_planar, carry, first=True[, centroid_rows])
+    """
+
+    def __init__(self, mtx, dist, size_wh, cfg: ArucoPipelineConfig | None = None,
+                 detector_params: DetectorParams | None = None, interpret: bool = False):
+        self.cfg = cfg or ArucoPipelineConfig()
+        self.mtx = jnp.asarray(mtx, jnp.float32)
+        self.dist = jnp.asarray(np.asarray(dist).reshape(-1), jnp.float32)
+        self.size_wh = tuple(size_wh)
+        self.detector = ArucoDetector(detector_params)
+        if self.cfg.use_pallas_preproc:
+            from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
+
+            self.pre = PallasPreprocessor(np.asarray(mtx, np.float64), np.asarray(dist, np.float64), size_wh, interpret=interpret)
+        else:
+            from apse_uav_tpu.preproc.remap import Preprocessor
+
+            self.pre = Preprocessor(mtx, dist, size_wh)
+
+    # -- stateless front ----------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def front(self, frames: Array):
+        """frames (T, 3, H, W) u8 planar -> per-frame slot data + gray."""
+        if self.cfg.use_pallas_preproc:
+            _, gray = self.pre(frames)
+        else:
+            hwc = jnp.transpose(frames, (0, 2, 3, 1))
+            _, gray = self.pre(hwc)
+        corners, ids = self.detector.detect(gray)
+        present, slot_corners = jax.vmap(_slot_by_id)(ids, corners)
+        # Unit-length pose for every slot (invalid slots produce garbage that
+        # is masked downstream).
+        rvecs, utvecs = estimate_pose_single_markers(slot_corners, 1.0, self.mtx, self.dist)
+        cx, cy, msp = jax.vmap(jax.vmap(geo.marker_center_and_size))(slot_corners)
+        return {
+            "present": present,
+            "corners": slot_corners,
+            "rvec": rvecs,
+            "utvec": utvecs,
+            "cx": cx,
+            "cy": cy,
+            "msp": jnp.maximum(msp, 1e-6),
+            "gray": gray,
+        }
+
+    # -- temporal scan -------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def scan(self, carry: dict, front: dict, first_frame: Array, centroid_rows: Array):
+        """Run the state machine over T frames.
+
+        first_frame: (T,) bool — True only for the sequence's first frame
+        (k == start_frame semantics).  centroid_rows: (T, 17) int32 DCNN CSV
+        rows (zeros when unused).
+        """
+        cfg = self.cfg
+        mtx, dist = self.mtx, self.dist
+
+        def step(carry, xs):
+            f, first, crow = xs
+            present = f["present"]
+            rvec = f["rvec"]
+            tvec = f["utvec"] * carry["marker_length"]  # pose at L_prev
+            cx, cy, msp = f["cx"], f["cy"], f["msp"]
+
+            # --- temporal gate (all vehicles, using L_prev) -----------------
+            diff = geo.displacement_metres(cx, cy, carry["cx_prev"], carry["cy_prev"], carry["marker_length"], msp)
+            prev = carry["detected_prev"].astype(bool)
+            measured = present & ((prev & (diff < cfg.diff_max)) | first)
+            newly = present & ~prev
+            detected = (measured | newly).astype(jnp.int32)
+            cx_new = jnp.where(measured | newly, cx, carry["cx_prev"])
+            cy_new = jnp.where(measured | newly, cy, carry["cy_prev"])
+
+            host = measured[3]
+
+            # --- host branch: altitude, marker length, size avg, LEDs -------
+            altitude_raw = tvec[3, 2]
+            # Fallback (aruco_detect.py:639-642): host absent -> altitude from
+            # the last processed marker (highest present id here).
+            any_other = jnp.any(present[:3])
+            fb_idx = 2 - jnp.argmax(jnp.flip(present[:3]))
+            alt_fb = tvec[fb_idx, 2]
+            use_fb = ~present[3] & any_other
+            altitude_eff = jnp.where(host, altitude_raw, jnp.where(use_fb, alt_fb, carry["altitude_real"] * geo.MARKER_DIV))
+            update_len = host | use_fb
+            marker_length = jnp.where(update_len, geo.marker_length_correction(altitude_eff), carry["marker_length"])
+            altitude_real = jnp.where(update_len, altitude_eff / geo.MARKER_DIV, carry["altitude_real"])
+
+            # Marker size averaging for every measured vehicle.
+            def upd_ring(ring, m, meas):
+                new_ring, corr, avg = geo.average_marker_size(ring, m)
+                return (
+                    jnp.where(meas, new_ring, ring),
+                    jnp.where(meas, corr, jnp.float32(1.0)),
+                    avg,
+                )
+
+            rings, size_corr, msp_avg_new = jax.vmap(upd_ring)(carry["msp_rings"], msp, measured)
+            msp_avg = jnp.where(measured, msp_avg_new, carry["msp_avg"])
+            size_corr = jnp.where(measured, size_corr, carry["size_corr"])
+
+            leds = jnp.where(
+                host,
+                _led_value(f["gray"], rvec[3], tvec[3], size_corr[3], altitude_real, mtx, dist, cfg.leds_threshold),
+                carry["leds"],
+            )
+
+            lidar_pt = geo.project_int(geo.VEH4_LIDAR, rvec[3], tvec[3] / size_corr[3], mtx, dist)[0]
+            lidar_xy = jnp.where(host, lidar_pt, carry["lidar_xy"])
+
+            # Perspective-modified bbox dims for all vehicles (recomputed
+            # fresh each frame from constants: aruco_detect.py:583-586).
+            veh_dims = jax.vmap(geo.bbox_dims_update)(tvec, rvec, geo.VEH_DIMS)
+
+            # --- distance pass (aruco_detect.py:728-781) --------------------
+            source_xy = jnp.where(
+                cfg.source_lidar, lidar_xy, jnp.stack([cx_new[3], cy_new[3]])
+            ).astype(jnp.float32)
+
+            def veh_distance(v):
+                bbox_pts = geo.bbox_perimeter_points(veh_dims[v])
+                point = geo.min_distance_bbox_point(source_xy, bbox_pts, rvec[v], tvec[v] / size_corr[v], mtx, dist)
+                d_aruco = geo.pixel_distance_to_metres(source_xy, jnp.stack([cx_new[v], cy_new[v]]), marker_length, msp_avg[3], msp_avg[v])
+                d_bbox = geo.pixel_distance_to_metres(source_xy, point.astype(jnp.float32), marker_length, msp_avg[3], msp_avg[v])
+                return d_aruco, d_bbox
+
+            d_aruco_new, d_bbox_new = jax.vmap(veh_distance)(jnp.arange(3))
+            do_dist = host & measured[:3]
+            dist_aruco = jnp.where(do_dist, d_aruco_new, carry["dist_aruco"])
+            dist_aruco_bbox = jnp.where(do_dist, d_bbox_new, carry["dist_aruco_bbox"])
+
+            # --- DCNN comparison distances (useCentroidData) ----------------
+            if cfg.use_centroid_data:
+                crow_f = crow.astype(jnp.float32)
+                cent = jnp.stack([crow_f[jnp.array([5, 9, 13])], crow_f[jnp.array([6, 10, 14])]], axis=1)
+                bbox = jnp.stack([crow_f[jnp.array([7, 11, 15])], crow_f[jnp.array([8, 12, 16])]], axis=1)
+                cent = jnp.maximum(cent, 0.0)
+                bbox = jnp.maximum(bbox, 0.0)
+
+                def dcnn_dist(v):
+                    dc = geo.pixel_distance_to_metres(lidar_xy.astype(jnp.float32), cent[v], marker_length, msp_avg[3], msp_avg[v])
+                    db = geo.pixel_distance_to_metres(lidar_xy.astype(jnp.float32), bbox[v], marker_length, msp_avg[3], msp_avg[v])
+                    return dc, db
+
+                dc_new, db_new = jax.vmap(dcnn_dist)(jnp.arange(3))
+                dist_dcnn = jnp.where(do_dist, dc_new, carry["dist_dcnn"])
+                dist_dcnn_bbox = jnp.where(do_dist, db_new, carry["dist_dcnn_bbox"])
+            else:
+                dist_dcnn = carry["dist_dcnn"]
+                dist_dcnn_bbox = carry["dist_dcnn_bbox"]
+
+            new_carry = {
+                "detected_prev": detected,
+                "cx_prev": cx_new,
+                "cy_prev": cy_new,
+                "msp_rings": rings,
+                "marker_length": marker_length,
+                "altitude_real": altitude_real,
+                "leds": leds,
+                "msp_avg": msp_avg,
+                "size_corr": size_corr,
+                "lidar_xy": lidar_xy,
+                "dist_aruco": dist_aruco,
+                "dist_aruco_bbox": dist_aruco_bbox,
+                "dist_dcnn": dist_dcnn,
+                "dist_dcnn_bbox": dist_dcnn_bbox,
+            }
+            out = {
+                "detected": detected,
+                "measured": measured,
+                "marker_length": marker_length,
+                "leds": leds,
+                "altitude": altitude_real,
+                "fov_w": geo.FRAME_W * marker_length / msp_avg[3],
+                "fov_h": geo.FRAME_H * marker_length / msp_avg[3],
+                "dist_aruco": dist_aruco,
+                "dist_aruco_bbox": dist_aruco_bbox,
+                "dist_dcnn": dist_dcnn,
+                "dist_dcnn_bbox": dist_dcnn_bbox,
+                "corners": f["corners"],
+                "rvec": rvec,
+                "tvec": tvec,
+                "msp_avg": msp_avg,
+            }
+            return new_carry, out
+
+        return jax.lax.scan(step, carry, (front, first_frame, centroid_rows))
+
+    def process(self, frames: Array, carry: dict, first: bool = False, centroid_rows: Array | None = None):
+        """Convenience: front + scan for a batch of frames."""
+        t = frames.shape[0]
+        f = self.front(frames)
+        firsts = jnp.zeros(t, bool).at[0].set(bool(first))
+        if centroid_rows is None:
+            centroid_rows = jnp.zeros((t, 17), jnp.int32)
+        return self.scan(carry, f, firsts, centroid_rows)

@@ -1,0 +1,159 @@
+"""Planar PnP pose estimation in pure JAX (solvePnP ITERATIVE equivalent).
+
+Replaces cv2.aruco.estimatePoseSingleMarkers (reference aruco_detect.py:601):
+object points are the marker square corners
+
+    (-L/2, +L/2, 0), (+L/2, +L/2, 0), (+L/2, -L/2, 0), (-L/2, -L/2, 0)
+
+matched to detected corners (top-left first, clockwise).  Like OpenCV's
+ITERATIVE solver: initialize from the object-plane homography decomposition,
+then refine all 6 pose parameters with damped Gauss-Newton on the *pixel*
+reprojection residual (including the distortion model — the reference feeds
+the distortion coefficients even though its corners come from undistorted
+frames, and parity requires reproducing exactly that).
+
+The Jacobian comes from jax.jacfwd through the projection function, so the
+solver is fully batched/vmapped over markers and frames.
+
+Linearity note: with fixed corners, the solution satisfies
+rvec(L) = rvec(1), tvec(L) = L * tvec(1) — the pipeline exploits this to run
+pose once with unit marker length and apply the sequentially-updated
+markerLength as a scale inside the temporal scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from apse_uav_tpu.core import camera, rotation
+
+Array = jax.Array
+
+
+def marker_object_points(marker_length) -> Array:
+    """OpenCV estimatePoseSingleMarkers object points (y up)."""
+    half = marker_length / 2.0
+    return jnp.array(
+        [[-half, half, 0.0], [half, half, 0.0], [half, -half, 0.0], [-half, -half, 0.0]]
+    )
+
+
+def _homography_dlt(src_xy: Array, dst_xy: Array) -> Array:
+    """Exact 4-point homography src -> dst via the projective square map."""
+
+    def unit_to_quad(q):
+        x0, y0 = q[0, 0], q[0, 1]
+        x1, y1 = q[1, 0], q[1, 1]
+        x2, y2 = q[2, 0], q[2, 1]
+        x3, y3 = q[3, 0], q[3, 1]
+        dx1 = x1 - x2
+        dx2 = x3 - x2
+        dy1 = y1 - y2
+        dy2 = y3 - y2
+        sx = x0 - x1 + x2 - x3
+        sy = y0 - y1 + y2 - y3
+        den = dx1 * dy2 - dx2 * dy1
+        den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+        g = (sx * dy2 - sy * dx2) / den
+        hh = (dx1 * sy - dy1 * sx) / den
+        return jnp.array(
+            [
+                [x1 - x0 + g * x1, x3 - x0 + hh * x3, x0],
+                [y1 - y0 + g * y1, y3 - y0 + hh * y3, y0],
+                [g, hh, 1.0],
+            ]
+        )
+
+    h_src = unit_to_quad(src_xy)
+    h_dst = unit_to_quad(dst_xy)
+    return h_dst @ jnp.linalg.inv(h_src)
+
+
+def _init_pose_planar(obj_xy: Array, xy_norm: Array):
+    """Initial (rvec, tvec) from the homography obj plane -> normalized image."""
+    h_mat = _homography_dlt(obj_xy, xy_norm)
+    h_mat = h_mat / jnp.linalg.norm(h_mat[:, 0])
+    r1 = h_mat[:, 0]
+    r2 = h_mat[:, 1]
+    # Scale so ||r1|| = ||r2|| = 1 on average (OpenCV uses both norms).
+    lam = 2.0 / (jnp.linalg.norm(r1) + jnp.linalg.norm(r2))
+    r1 = r1 * lam
+    r2 = r2 * lam
+    t = h_mat[:, 2] * lam
+    r3 = jnp.cross(r1, r2)
+    r_approx = jnp.stack([r1, r2, r3], axis=1)
+    # Orthonormalize (polar decomposition via SVD).
+    u, _, vt = jnp.linalg.svd(r_approx)
+    r_mat = u @ vt
+    r_mat = r_mat * jnp.sign(jnp.linalg.det(r_mat))
+    # The camera must look at the front of the plane: t_z > 0.
+    flip = t[2] < 0
+    t = jnp.where(flip, -t, t)
+    r_mat = jnp.where(
+        flip, r_mat @ jnp.diag(jnp.array([-1.0, -1.0, 1.0])), r_mat
+    )
+    return rotation.matrix_to_rodrigues(r_mat), t
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def solve_pnp_planar(
+    obj_pts: Array,
+    img_pts: Array,
+    mtx: Array,
+    dist: Array,
+    num_iters: int = 15,
+):
+    """Solve planar PnP for one marker.  obj_pts (4,3), img_pts (4,2) pixels.
+
+    Returns (rvec (3,), tvec (3,)).
+    """
+    dist14 = camera.pad_dist_coeffs(dist)
+    xy_norm = camera.undistort_points(img_pts, mtx, dist, num_iters=5)
+    rvec0, tvec0 = _init_pose_planar(obj_pts[:, :2], xy_norm)
+
+    def residual(params):
+        proj = camera.project_points(obj_pts, params[:3], params[3:], mtx, dist14)
+        return (proj - img_pts).reshape(-1)
+
+    def gn_step(_, params):
+        r = residual(params)
+        jac = jax.jacfwd(residual)(params)  # (8, 6)
+        jtj = jac.T @ jac
+        jtr = jac.T @ r
+        damped = jtj + 1e-6 * jnp.eye(6) * jnp.maximum(jnp.trace(jtj) / 6.0, 1e-6)
+        step = jnp.linalg.solve(damped, jtr)
+        # Guard against non-finite steps (degenerate quads).
+        step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros(6))
+        return params - step
+
+    params0 = jnp.concatenate([rvec0, tvec0])
+    params = jax.lax.fori_loop(0, num_iters, gn_step, params0)
+    return params[:3], params[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def estimate_pose_single_markers(
+    corners: Array,
+    marker_length,
+    mtx: Array,
+    dist: Array,
+    num_iters: int = 15,
+):
+    """cv2.aruco.estimatePoseSingleMarkers equivalent, batched.
+
+    Args:
+      corners: (N, 4, 2) pixel corners (canonical order, clockwise from
+        top-left) — extra leading batch dims allowed.
+      marker_length: marker side in metres.
+
+    Returns:
+      (rvecs (N, 3), tvecs (N, 3)).
+    """
+    obj = marker_object_points(marker_length)
+    fn = lambda c: solve_pnp_planar(obj, c, mtx, dist, num_iters=num_iters)
+    for _ in range(corners.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(corners)

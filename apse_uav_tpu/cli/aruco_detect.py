@@ -1,0 +1,168 @@
+"""ArUco measurement CLI — the reference aruco_detect.py re-hosted on TPU.
+
+Flags mirror the reference's user-constant block (aruco_detect.py:13-87);
+input/output conventions are preserved: images named ``image_%04d.png``, the
+cam_params.json format, the DCNN centroid CSV, and both result CSV schemas.
+
+Frames are read on the host (cv2), batched, and processed by the jitted
+TPU pipeline (preproc -> detection -> pose -> temporal scan); rows stream to
+the CSV writer.
+
+Usage:
+    python -m apse_uav_tpu.cli.aruco_detect \
+        --path_camera_params data/cam_params.json \
+        --use_images --path_input_images frames/ \
+        --save_results --path_output_results out.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--start_frame", type=int, default=1)
+    p.add_argument("--stop_frame", type=int, default=None)
+    p.add_argument("--step_frame", type=int, default=1)
+    p.add_argument("--save_results", action="store_true")
+    p.add_argument("--save_images", action="store_true")
+    p.add_argument("--use_centroid_data", action="store_true")
+    p.add_argument("--N_avg", type=int, default=1)
+    p.add_argument("--LEDs_threshold", type=float, default=None)
+    p.add_argument("--source_lidar", dest="sourceLidar", action="store_true")
+    p.add_argument("--path_camera_params", required=True)
+    p.add_argument("--use_images", action="store_true")
+    p.add_argument("--path_input_images", default=None)
+    p.add_argument("--use_video", action="store_true")
+    p.add_argument("--path_input_video", default=None)
+    p.add_argument("--path_dcnn_data", default=None)
+    p.add_argument("--path_output_results", default=None)
+    p.add_argument("--path_output_images", default=None)
+    p.add_argument("--batch", type=int, default=8, help="frames per device batch")
+    p.add_argument("--width", type=int, default=3840)
+    p.add_argument("--height", type=int, default=2160)
+    p.add_argument("--xla_preproc", action="store_true", help="use the XLA (non-Pallas) preprocessing path")
+    return p
+
+
+def _frame_reader(args):
+    """Yield (k, frame_bgr_u8) respecting start/stop/step semantics."""
+    import cv2
+
+    if args.use_images:
+        stop = args.stop_frame
+        if stop is None:
+            stop = len(os.listdir(args.path_input_images))
+        k = args.start_frame
+        while k <= stop:
+            path = os.path.join(args.path_input_images, "image_%04d.png" % k)
+            frame = cv2.imread(path)
+            if frame is None:
+                break
+            yield k, frame
+            k += args.step_frame
+    else:
+        video = cv2.VideoCapture(args.path_input_video)
+        k = args.start_frame
+        for _ in range(args.start_frame - 1):
+            ret, _ = video.read()
+            if not ret:
+                return
+        stop = args.stop_frame if args.stop_frame is not None else np.inf
+        while k <= stop and video.isOpened():
+            ret, frame = video.read()
+            if not ret:
+                break
+            yield k, frame
+            k += args.step_frame
+            for _ in range(args.step_frame - 1):
+                ret, _ = video.read()
+                if not ret:
+                    break
+        video.release()
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.use_images and not args.use_video:
+        print("error: choose --use_images or --use_video", file=sys.stderr)
+        return 2
+
+    import jax.numpy as jnp
+
+    from apse_uav_tpu.aruco.pipeline import ArucoPipeline, ArucoPipelineConfig, init_carry
+    from apse_uav_tpu.core import camera
+    from apse_uav_tpu.utils import csv_io
+
+    mtx, dist = camera.load_camera_params(args.path_camera_params)
+    cfg = ArucoPipelineConfig(
+        n_avg=args.N_avg,
+        step_frame=args.step_frame,
+        use_centroid_data=args.use_centroid_data,
+        source_lidar=args.sourceLidar,
+        leds_threshold=args.LEDs_threshold,
+        use_pallas_preproc=not args.xla_preproc,
+    )
+    pipe = ArucoPipeline(mtx, dist, (args.width, args.height), cfg)
+    carry = init_carry(cfg)
+
+    centroid_data = None
+    if args.use_centroid_data:
+        centroid_data = csv_io.read_centroid_data(args.path_dcnn_data)
+
+    writer = None
+    if args.save_results:
+        writer = csv_io.ResultsWriter(args.path_output_results, args.use_centroid_data)
+
+    batch_ks: list[int] = []
+    batch_frames: list[np.ndarray] = []
+    n_frames = 0
+    t_start = time.perf_counter()
+    first_batch = True
+
+    def flush():
+        nonlocal carry, first_batch, n_frames
+        if not batch_ks:
+            return
+        frames = jnp.asarray(np.stack(batch_frames).transpose(0, 3, 1, 2))
+        crows = None
+        if centroid_data is not None:
+            idx = np.clip(np.asarray(batch_ks) - 1, 0, len(centroid_data) - 1)
+            crows = jnp.asarray(centroid_data[idx], jnp.int32)
+        carry, out = pipe.process(frames, carry, first=first_batch, centroid_rows=crows)
+        first_batch = False
+        out = {k: np.asarray(v) for k, v in out.items()}
+        for i, k in enumerate(batch_ks):
+            if writer is not None:
+                writer.write_frame(k, {key: out[key][i] for key in out})
+        n_frames += len(batch_ks)
+        batch_ks.clear()
+        batch_frames.clear()
+
+    for k, frame in _frame_reader(args):
+        if frame.shape[:2] != (args.height, args.width):
+            raise SystemExit(f"frame {k} has shape {frame.shape}, expected {(args.height, args.width)}")
+        batch_ks.append(k)
+        batch_frames.append(frame)
+        if len(batch_ks) == args.batch:
+            flush()
+    flush()
+
+    if writer is not None:
+        writer.close()
+    dt = time.perf_counter() - t_start
+    if n_frames:
+        print(f"processed {n_frames} frames in {dt:.2f}s ({n_frames / dt:.1f} fps)")
+    else:
+        print("no frames processed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

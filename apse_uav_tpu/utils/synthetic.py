@@ -137,7 +137,10 @@ def render_scene(
             for j in range(8):
                 ox, oy = LED_OFFSETS[j]
                 on = (spec.leds >> (7 - j)) & 1
-                d2 = (lx - ox) ** 2 + (ly - oy) ** 2
+                # LED offsets are in the pose OBJECT frame (+y up toward the
+                # canonical marker top); render frame has ly pointing the
+                # other way: (x_o, y_o) -> (lx, -ly).
+                d2 = (lx - ox) ** 2 + (ly + oy) ** 2
                 led = d2 <= 0.06**2
                 img[led] = LED_ON if on else LED_OFF
 
