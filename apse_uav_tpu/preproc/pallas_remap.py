@@ -319,17 +319,51 @@ def _pow(x, p):
     return jnp.exp(p * jnp.log(jnp.maximum(x, 1e-12)))
 
 
+def _cbrt(x):
+    """Fast x^(1/3) for x >= 0: exponent bit-hack seed + 2 Newton steps.
+
+    exp/log-free — transcendentals dominate this kernel's runtime (the LAB
+    roundtrip costs ~20 pow per pixel on 8.3 Mpx frames), so every pow here
+    is rewritten in mults/divs.  ~1e-6 relative accuracy over [1e-12, 4].
+    """
+    x = jnp.maximum(x, 1e-20)
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    # i/3 via f32 (seed only; Newton cleans up the rounding).
+    seed = (jnp.floor(i.astype(jnp.float32) * (1.0 / 3.0)) + 709921077.0).astype(jnp.int32)
+    y = jax.lax.bitcast_convert_type(seed, jnp.float32)
+    for _ in range(2):
+        y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
+    return y
+
+
+def _fifth_root(x):
+    """Fast x^(1/5) for x > 0: bit-hack seed + 2 Newton steps."""
+    x = jnp.maximum(x, 1e-20)
+    i = jax.lax.bitcast_convert_type(x, jnp.int32)
+    seed = (jnp.floor(i.astype(jnp.float32) * (1.0 / 5.0)) + 852282573.0).astype(jnp.int32)
+    y = jax.lax.bitcast_convert_type(seed, jnp.float32)
+    for _ in range(2):
+        y2 = y * y
+        y = (4.0 * y + x / (y2 * y2)) * (1.0 / 5.0)
+    return y
+
+
 def _srgb_to_linear(u):
-    return jnp.where(u <= 0.04045, u / 12.92, _pow((u + 0.055) / 1.055, 2.4))
+    # pow(v, 2.4) = v^2 * (v^(1/5))^2
+    v = (u + 0.055) * (1.0 / 1.055)
+    r5 = _fifth_root(v)
+    return jnp.where(u <= 0.04045, u * (1.0 / 12.92), v * v * r5 * r5)
 
 
 def _linear_to_srgb(u):
-    u = jnp.maximum(u, 0.0)
-    return jnp.where(u <= 0.0031308, u * 12.92, 1.055 * _pow(u, 1.0 / 2.4) - 0.055)
+    # pow(u, 1/2.4) = u^(5/12) = sqrt(u) * rsqrt(sqrt(cbrt(u)))
+    u = jnp.maximum(u, 1e-12)
+    p = jnp.sqrt(u) * jax.lax.rsqrt(jnp.sqrt(_cbrt(u)))
+    return jnp.where(u <= 0.0031308, u * 12.92, 1.055 * p - 0.055)
 
 
 def _f_cbrt(t):
-    return jnp.where(t > 0.008856, _pow(t, 1.0 / 3.0), 7.787 * t + 16.0 / 116.0)
+    return jnp.where(t > 0.008856, _cbrt(t), 7.787 * t + 16.0 / 116.0)
 
 
 def _f_inv(ft):
@@ -370,7 +404,11 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
     a_u8 = jnp.clip(jnp.round(500.0 * (fx - fy) + 128.0), 0.0, 255.0)
     b_u8 = jnp.clip(jnp.round(200.0 * (fy - fz) + 128.0), 0.0, 255.0)
     # Reference LUT truncates: uint8 cast of (i/255)^gamma * 255.
-    l2 = jnp.floor(jnp.clip(_pow(l_u8 * (1.0 / 255.0), gamma) * 255.0, 0.0, 255.0))
+    if gamma == 2.0:
+        # Exact in f32: l^2 and /255 stay within the 24-bit integer range.
+        l2 = jnp.floor(l_u8 * l_u8 * (1.0 / 255.0))
+    else:
+        l2 = jnp.floor(jnp.clip(_pow(l_u8 * (1.0 / 255.0), gamma) * 255.0, 0.0, 255.0))
     ll = l2 * (100.0 / 255.0)
     aa = a_u8 - 128.0
     bb = b_u8 - 128.0
