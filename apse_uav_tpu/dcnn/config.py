@@ -1,0 +1,138 @@
+"""Typed configuration for the DCNN method — one system for everything.
+
+Replaces the reference's three config mechanisms (SURVEY.md §5): detectron2
+CfgNode YAMLs with ``_BASE_`` inheritance (dcnn/configs/*.yaml), module-level
+constant blocks, and per-script argparse.  Presets below mirror the six
+reference YAML configs (Base-RCNN-FPN.yaml:1-38 and its R50/R101 variants).
+
+Everything is a frozen dataclass: hashable (usable as a jit static argument),
+printable, and overridable via ``dataclasses.replace``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AnchorConfig:
+    """Anchor generation (Base-RCNN-FPN.yaml:9-12)."""
+
+    sizes: tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)  # one per level
+    aspect_ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
+    offset: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    """RPN head + proposal selection (Base-RCNN-FPN.yaml:13-21)."""
+
+    pre_nms_topk_train: int = 2000  # per level
+    pre_nms_topk_test: int = 1000
+    post_nms_topk_train: int = 1000  # total
+    post_nms_topk_test: int = 1000
+    nms_thresh: float = 0.7
+    min_size: float = 0.0
+    loss_weight: float = 1.0
+    batch_size_per_image: int = 256
+    positive_fraction: float = 0.5
+    iou_fg_thresh: float = 0.7
+    iou_bg_thresh: float = 0.3
+    smooth_l1_beta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ROIConfig:
+    """StandardROIHeads + box/mask heads (Base-RCNN-FPN.yaml:22-31)."""
+
+    num_classes: int = 80
+    score_thresh_test: float = 0.05
+    nms_thresh_test: float = 0.5
+    detections_per_image: int = 100
+    box_pooler_resolution: int = 7
+    mask_pooler_resolution: int = 14
+    pooler_sampling_ratio: int = 2
+    box_fc_dim: int = 1024
+    num_box_fc: int = 2
+    mask_conv_dim: int = 256
+    num_mask_conv: int = 4
+    bbox_reg_weights: tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    batch_size_per_image: int = 512
+    positive_fraction: float = 0.25
+    iou_thresh: float = 0.5
+    smooth_l1_beta: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class InputConfig:
+    """Image preprocessing (detectron2 INPUT.* + MODEL.PIXEL_*).
+
+    The TPU pipeline is static-shape: images are resized (shortest edge,
+    capped at max_size) then padded to ``pad_divisibility``-aligned fixed
+    dims derived from (min_size_test, max_size_test).
+    """
+
+    min_size_test: int = 800
+    max_size_test: int = 1333
+    pad_divisibility: int = 32
+    format: str = "BGR"
+    pixel_mean: tuple[float, float, float] = (103.530, 116.280, 123.675)
+    pixel_std: tuple[float, float, float] = (1.0, 1.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full Mask R-CNN model config (mirrors one merged detectron2 cfg)."""
+
+    depth: int = 50  # ResNet depth: 50 or 101
+    mask_on: bool = True
+    stride_in_1x1: bool = True  # caffe-style bottlenecks (model-zoo weights)
+    fpn_channels: int = 256
+    anchors: AnchorConfig = AnchorConfig()
+    rpn: RPNConfig = RPNConfig()
+    roi: ROIConfig = ROIConfig()
+    input: InputConfig = InputConfig()
+    # Numerics: convs/matmuls run in this dtype (params stay f32).
+    compute_dtype: str = "float32"
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.anchors.sizes)
+
+
+def mask_rcnn_r50_fpn(num_classes: int = 80, **overrides) -> ModelConfig:
+    """mask_rcnn_R_50_FPN_3x.yaml equivalent."""
+    cfg = ModelConfig(depth=50)
+    cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, num_classes=num_classes))
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def mask_rcnn_r101_fpn(num_classes: int = 80, **overrides) -> ModelConfig:
+    """mask_rcnn_R_101_FPN_3x.yaml equivalent."""
+    cfg = ModelConfig(depth=101)
+    cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, num_classes=num_classes))
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def uav_tracker_config(num_classes: int = 4) -> ModelConfig:
+    """The fine-tuned 4-class vehicle detector used by the tracker
+    (reference: visualize_uav.py:24-53 — confidence 0.5, 4 classes)."""
+    cfg = mask_rcnn_r101_fpn(num_classes=num_classes)
+    return dataclasses.replace(
+        cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=0.5)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """RcnnTracker thresholds (reference: dcnn/engines/rcnn_tracker.py:32-47)."""
+
+    max_tracks: int = 128
+    max_detections: int = 100
+    roi_size: int = 10
+    association_metric: str = "embeddings"  # bbox_center_dist | mask_iou | embeddings
+    embedding_dim: int = 128
+    center_dist_threshold: float = 100.0
+    mask_iou_threshold: float = 0.7
+    embedding_dist_threshold: float = 0.6
+    delete_after_undetected: int = 100

@@ -1,0 +1,273 @@
+"""StandardROIHeads: FPN pooling, box head, mask head, fixed-shape inference.
+
+Functional equivalent of detectron2's StandardROIHeads + FastRCNNConvFCHead +
+MaskRCNNConvUpsampleHead (reference: dcnn/configs/Base-RCNN-FPN.yaml:22-31),
+with TPU-first shapes: proposals/detections are fixed-capacity tensors with
+validity masks; per-class NMS uses the fixpoint greedy kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from apse_uav_tpu.dcnn.config import ROIConfig
+from apse_uav_tpu.dcnn.ops import apply_deltas, box_iou, clip_boxes, get_deltas
+from apse_uav_tpu.dcnn.ops.nms import batched_nms
+from apse_uav_tpu.dcnn.ops.roi_align import roi_align
+from apse_uav_tpu.dcnn.models.rpn import smooth_l1, subsample_labels
+
+Array = jax.Array
+
+POOL_LEVELS = ("p2", "p3", "p4", "p5")
+CANONICAL_LEVEL = 4
+CANONICAL_SIZE = 224.0
+
+
+def assign_boxes_to_levels(boxes: Array) -> Array:
+    """FPN level per box (detectron2 assign_boxes_to_levels): (N,) in [0, 3]."""
+    area = jnp.maximum(boxes[:, 2] - boxes[:, 0], 0.0) * jnp.maximum(
+        boxes[:, 3] - boxes[:, 1], 0.0
+    )
+    scale = jnp.sqrt(area)
+    lvl = jnp.floor(CANONICAL_LEVEL + jnp.log2(scale / CANONICAL_SIZE + 1e-8))
+    return (jnp.clip(lvl, 2, 5) - 2).astype(jnp.int32)
+
+
+def fpn_roi_align(
+    feats: dict[str, Array],
+    boxes: Array,
+    resolution: int,
+    sampling_ratio: int,
+) -> Array:
+    """Multi-level ROIAlign (ROIAlignV2/aligned) for ONE image.
+
+    feats[p*] (H, W, C); boxes (N, 4).  Pools every box on every level and
+    selects by the level assignment — static shapes; the 4x pooling overhead
+    is far cheaper on TPU than a data-dependent partition.
+    """
+    lvl = assign_boxes_to_levels(boxes)
+    pooled = []
+    for i, name in enumerate(POOL_LEVELS):
+        feat = jnp.transpose(feats[name], (2, 0, 1))  # (C, H, W)
+        scale = 1.0 / (4 * 2**i)
+        pooled.append(
+            roi_align(feat, boxes, resolution, scale, sampling_ratio, aligned=True)
+        )
+    stacked = jnp.stack(pooled, axis=0)  # (4, N, C, R, R)
+    return jnp.take_along_axis(stacked, lvl[None, :, None, None, None], axis=0)[0]
+
+
+class BoxHead(nn.Module):
+    """FastRCNNConvFCHead (2 FC) + linear predictors."""
+
+    num_classes: int
+    fc_dim: int = 1024
+    num_fc: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> tuple[Array, Array]:
+        """x (N, C, R, R) -> (scores (N, K+1), deltas (N, K, 4))."""
+        n = x.shape[0]
+        x = x.reshape(n, -1).astype(self.dtype)
+        for i in range(self.num_fc):
+            x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
+        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        return scores, deltas.reshape(n, self.num_classes, 4)
+
+
+class MaskHead(nn.Module):
+    """MaskRCNNConvUpsampleHead: 4 convs + deconv + 1x1 predictor."""
+
+    num_classes: int
+    conv_dim: int = 256
+    num_conv: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        """x (N, C, R, R) -> mask logits (N, K, 2R, 2R)."""
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+        for i in range(self.num_conv):
+            x = nn.relu(
+                nn.Conv(self.conv_dim, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name=f"mask_fcn{i + 1}")(x)
+            )
+        x = nn.relu(
+            nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv")(x)
+        )
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="predictor")(x)
+        return jnp.transpose(x, (0, 3, 1, 2))  # (N, K, 2R, 2R)
+
+
+def box_inference(
+    scores_logits: Array,
+    deltas: Array,
+    proposals: Array,
+    proposal_valid: Array,
+    image_hw: tuple[int, int],
+    cfg: ROIConfig,
+) -> dict[str, Array]:
+    """fast_rcnn_inference for ONE image, fixed output capacity.
+
+    Returns dict with boxes (D, 4), scores (D,), classes (D,), valid (D,)
+    where D = cfg.detections_per_image.
+    """
+    k = cfg.num_classes
+    probs = jax.nn.softmax(scores_logits, axis=-1)[:, :k]  # drop background
+    boxes = apply_deltas(
+        deltas, proposals[:, None, :].repeat(k, axis=1), cfg.bbox_reg_weights
+    )  # (N, K, 4)
+    boxes = clip_boxes(boxes, image_hw)
+    n = probs.shape[0]
+    flat_scores = probs.reshape(-1)  # (N*K,)
+    flat_boxes = boxes.reshape(-1, 4)
+    flat_cls = jnp.tile(jnp.arange(k), n)
+    valid = (flat_scores > cfg.score_thresh_test) & jnp.repeat(proposal_valid, k)
+    # Keep the NMS problem small: pre-select top candidates by score.
+    cap = min(4 * cfg.detections_per_image, flat_scores.shape[0])
+    cand_scores, idx = jax.lax.top_k(jnp.where(valid, flat_scores, -jnp.inf), cap)
+    cand_boxes = flat_boxes[idx]
+    cand_cls = flat_cls[idx]
+    cand_valid = jnp.isfinite(cand_scores)
+    keep = batched_nms(cand_boxes, cand_scores, cand_cls, cfg.nms_thresh_test, cand_valid)
+    kept_scores = jnp.where(keep, cand_scores, -jnp.inf)
+    d = min(cfg.detections_per_image, cap)
+    final_scores, fidx = jax.lax.top_k(kept_scores, d)
+    return {
+        "boxes": cand_boxes[fidx],
+        "scores": jnp.where(jnp.isfinite(final_scores), final_scores, 0.0),
+        "classes": cand_cls[fidx],
+        "valid": jnp.isfinite(final_scores),
+    }
+
+
+def match_proposals_to_gt(
+    proposals: Array,
+    proposal_valid: Array,
+    gt_boxes: Array,
+    gt_classes: Array,
+    gt_valid: Array,
+    cfg: ROIConfig,
+    rng: Array,
+) -> dict[str, Array]:
+    """label_and_sample_proposals for ONE image (training).
+
+    GT boxes are appended to the proposal set (detectron2 behavior), labels
+    are matched at iou_thresh, and a balanced subsample of
+    cfg.batch_size_per_image is selected.  Returns fixed-size sample set of
+    size cfg.batch_size_per_image (mask ``sampled``).
+    """
+    all_boxes = jnp.concatenate([proposals, gt_boxes], axis=0)
+    all_valid = jnp.concatenate([proposal_valid, gt_valid], axis=0)
+    iou = box_iou(gt_boxes, all_boxes)
+    iou = jnp.where(gt_valid[:, None], iou, -1.0)
+    matched_iou = jnp.max(iou, axis=0)
+    matched_idx = jnp.argmax(iou, axis=0)
+    fg = (matched_iou >= cfg.iou_thresh) & all_valid
+    bg = (matched_iou < cfg.iou_thresh) & all_valid
+    labels = jnp.where(fg, 1, jnp.where(bg, 0, -1))
+    sel = subsample_labels(rng, labels, cfg.batch_size_per_image, cfg.positive_fraction)
+    # Deterministic fixed-size gather of the selected rows.
+    order = jnp.argsort(~sel)  # selected rows first (stable)
+    take = order[: cfg.batch_size_per_image]
+    is_real = sel[take]
+    return {
+        "boxes": all_boxes[take],
+        "matched_gt": matched_idx[take],
+        "fg": fg[take] & is_real,
+        "sampled": is_real,
+        "gt_class": jnp.where(
+            fg[take] & is_real, gt_classes[matched_idx[take]], cfg.num_classes
+        ),
+    }
+
+
+def box_head_losses(
+    scores_logits: Array,
+    deltas: Array,
+    sample: dict[str, Array],
+    gt_boxes: Array,
+    cfg: ROIConfig,
+) -> dict[str, Array]:
+    """Softmax CE + class-specific smooth-L1 on foreground samples."""
+    n = scores_logits.shape[0]
+    valid = sample["sampled"]
+    log_probs = jax.nn.log_softmax(scores_logits, axis=-1)
+    ce = -jnp.take_along_axis(log_probs, sample["gt_class"][:, None], axis=1)[:, 0]
+    loss_cls = jnp.sum(jnp.where(valid, ce, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    fg = sample["fg"]
+    fg_class = jnp.clip(sample["gt_class"], 0, cfg.num_classes - 1)
+    pred_deltas = jnp.take_along_axis(deltas, fg_class[:, None, None].repeat(4, 2), axis=1)[:, 0]
+    target = get_deltas(sample["boxes"], gt_boxes[sample["matched_gt"]], cfg.bbox_reg_weights)
+    l1 = jnp.sum(smooth_l1(pred_deltas, target, cfg.smooth_l1_beta), axis=-1)
+    loss_box = jnp.sum(jnp.where(fg, l1, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    return {"loss_cls": loss_cls, "loss_box_reg": loss_box}
+
+
+def mask_head_loss(
+    mask_logits: Array,
+    sample: dict[str, Array],
+    gt_masks_28: Array,
+    cfg: ROIConfig,
+) -> Array:
+    """BCE over the matched class channel of each fg sample.
+
+    gt_masks_28 (N, 2R, 2R) are GT masks pre-cropped+resized to the predicted
+    box (host-side or via crop_and_resize in the caller).
+    """
+    fg = sample["fg"]
+    cls = jnp.clip(sample["gt_class"], 0, cfg.num_classes - 1)
+    logits = jnp.take_along_axis(
+        mask_logits, cls[:, None, None, None].repeat(mask_logits.shape[2], 2).repeat(mask_logits.shape[3], 3), axis=1
+    )[:, 0]
+    labels = gt_masks_28.astype(logits.dtype)
+    bce = (
+        jnp.maximum(logits, 0) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    ).mean(axis=(1, 2))
+    return jnp.sum(jnp.where(fg, bce, 0.0)) / jnp.maximum(jnp.sum(fg), 1)
+
+
+def paste_masks(
+    mask_probs: Array, boxes: Array, image_hw: tuple[int, int], threshold: float = 0.5
+) -> Array:
+    """Paste (N, R, R) mask probabilities into full-image boolean masks.
+
+    detectron2 paste_masks_in_image semantics (inverse ROIAlign-style grid
+    sample with aligned corners offset), vectorized over detections.
+    """
+    h, w = image_hw
+    n, r = mask_probs.shape[0], mask_probs.shape[1]
+
+    def one(prob, box):
+        x1, y1, x2, y2 = box
+        # Map image pixel centers into mask coordinates.
+        xs = (jnp.arange(w, dtype=jnp.float32) + 0.5 - x1) / jnp.maximum(x2 - x1, 1e-4) * r - 0.5
+        ys = (jnp.arange(h, dtype=jnp.float32) + 0.5 - y1) / jnp.maximum(y2 - y1, 1e-4) * r - 0.5
+        x0 = jnp.floor(xs)
+        y0 = jnp.floor(ys)
+        lx = xs - x0
+        ly = ys - y0
+        x0i = jnp.clip(x0.astype(jnp.int32), 0, r - 1)
+        x1i = jnp.clip(x0i + 1, 0, r - 1)
+        y0i = jnp.clip(y0.astype(jnp.int32), 0, r - 1)
+        y1i = jnp.clip(y0i + 1, 0, r - 1)
+        inx = (xs > -1.0) & (xs < r)
+        iny = (ys > -1.0) & (ys < r)
+        # Clamp weights at borders (grid_sample zero-pad approximated by
+        # clamping then masking fully-outside pixels).
+        p00 = prob[y0i][:, x0i]
+        p01 = prob[y0i][:, x1i]
+        p10 = prob[y1i][:, x0i]
+        p11 = prob[y1i][:, x1i]
+        lx_ = lx[None, :]
+        ly_ = ly[:, None]
+        val = (p00 * (1 - lx_) + p01 * lx_) * (1 - ly_) + (p10 * (1 - lx_) + p11 * lx_) * ly_
+        val = jnp.where(iny[:, None] & inx[None, :], val, 0.0)
+        return val >= threshold
+
+    return jax.vmap(one)(mask_probs, boxes)
