@@ -25,29 +25,43 @@ Array = jax.Array
 LEVEL_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
 
 
-def cell_anchors(size: float, aspect_ratios: Sequence[float]) -> jnp.ndarray:
-    """(A, 4) base anchors centered at the origin (detectron2 ordering)."""
+def cell_anchors(size: float, aspect_ratios: Sequence[float]):
+    """(A, 4) base anchors centered at the origin (detectron2 ordering).
+
+    Pure numpy so anchor tables are host constants, never traced values."""
+    import numpy as np
+
     out = []
     area = size * size
     for r in aspect_ratios:
         w = (area / r) ** 0.5
         h = w * r
         out.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
-    return jnp.asarray(out, jnp.float32)
+    return np.asarray(out, np.float32)
 
 
 @functools.lru_cache(maxsize=64)
+def _grid_anchors_np(
+    hw: tuple[int, int], stride: int, size: float, aspect_ratios: tuple[float, ...], offset: float = 0.0
+):
+    import numpy as np
+
+    h, w = hw
+    base = cell_anchors(size, aspect_ratios)  # (A, 4)
+    xs = (np.arange(w, dtype=np.float32) + offset) * stride
+    ys = (np.arange(h, dtype=np.float32) + offset) * stride
+    sx, sy = np.meshgrid(xs, ys)  # (H, W)
+    shifts = np.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)  # (H*W, 1, 4)
+    return (shifts + base[None]).reshape(-1, 4).astype(np.float32)
+
+
 def grid_anchors(
     hw: tuple[int, int], stride: int, size: float, aspect_ratios: tuple[float, ...], offset: float = 0.0
 ) -> jax.Array:
-    """All anchors for one level: (H*W*A, 4), shift-major / anchor-minor."""
-    h, w = hw
-    base = cell_anchors(size, aspect_ratios)  # (A, 4)
-    xs = (jnp.arange(w, dtype=jnp.float32) + offset) * stride
-    ys = (jnp.arange(h, dtype=jnp.float32) + offset) * stride
-    sx, sy = jnp.meshgrid(xs, ys)  # (H, W)
-    shifts = jnp.stack([sx, sy, sx, sy], axis=-1).reshape(-1, 1, 4)  # (H*W, 1, 4)
-    return (shifts + base[None]).reshape(-1, 4)
+    """All anchors for one level: (H*W*A, 4), shift-major / anchor-minor.
+
+    Computed (and cached) in numpy so the cache never captures tracers."""
+    return jnp.asarray(_grid_anchors_np(hw, stride, size, aspect_ratios, offset))
 
 
 class RPNHead(nn.Module):

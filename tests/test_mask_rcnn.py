@@ -29,9 +29,10 @@ def tiny_cfg():
 @pytest.fixture(scope="module")
 def model_and_params(tiny_cfg):
     model = MaskRCNN(cfg=tiny_cfg)
-    rng = jax.random.PRNGKey(0)
     images = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    params = model.init(rng, images, mode="inference")["params"]
+    params = jax.jit(lambda rng: model.init(rng, images, mode="inference")["params"])(
+        jax.random.PRNGKey(0)
+    )
     return model, params
 
 
