@@ -1,0 +1,158 @@
+"""Data pipeline tests over synthetic on-disk fixtures."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from apse_uav_tpu.data import (
+    DetectionLoader,
+    fabricate_outputs,
+    generate_coco_dataset_dictionaries,
+    generate_cowc_dataset_dictionaries,
+    generate_uav_dataset_dictionaries,
+    generate_visdrone_dataset_dictionaries,
+)
+from apse_uav_tpu.data.loader import LoaderConfig
+
+
+def _png(path, h, w, value=128):
+    Image.fromarray(np.full((h, w, 3), value, np.uint8)).save(path)
+
+
+def test_visdrone_generator(tmp_path):
+    os.makedirs(tmp_path / "images")
+    os.makedirs(tmp_path / "annotations")
+    _png(tmp_path / "images" / "0000001.png", 40, 60)
+    with open(tmp_path / "annotations" / "0000001.txt", "w") as f:
+        f.write("10,10,20,15,1,4,0,0\n")  # car
+        f.write("5,5,8,8,1,1,0,0\n")  # pedestrian -> class 3
+        f.write("1,1,4,4,1,0,0,0\n")  # ignored region -> dropped
+    d = generate_visdrone_dataset_dictionaries(str(tmp_path))
+    assert len(d) == 1
+    assert d[0]["height"] == 40 and d[0]["width"] == 60
+    cats = [a["category_id"] for a in d[0]["annotations"]]
+    assert cats == [0, 3]
+    outs = fabricate_outputs(d[0])
+    assert all(o["score"] == 1 for o in outs) and len(outs) == 2
+
+
+def test_uavdt_generator(tmp_path):
+    seq = tmp_path / "M0101"
+    os.makedirs(seq)
+    _png(seq / "img000001.jpg", 32, 48)
+    _png(seq / "img000002.jpg", 32, 48)
+    rows = [
+        "1,7,2,3,10,8,0,0,1",   # frame 1, car (class 1 -> 0)
+        "1,8,5,6,9,9,0,2,1",    # occlusion 2 -> dropped
+        "2,7,3,3,10,8,0,0,2",   # frame 2, truck (class 2 -> 1)
+    ]
+    with open(tmp_path / "M0101_gt_whole.txt", "w") as f:
+        f.write("\n".join(rows))
+    d = generate_uav_dataset_dictionaries(str(tmp_path))
+    assert len(d) == 2
+    assert [a["category_id"] for a in d[0]["annotations"]] == [0]
+    assert [a["category_id"] for a in d[1]["annotations"]] == [1]
+
+
+def test_uavdt_ignored_sequence(tmp_path):
+    seq = tmp_path / "M0601"  # globally ignored
+    os.makedirs(seq)
+    _png(seq / "img000001.jpg", 16, 16)
+    with open(tmp_path / "M0601_gt_whole.txt", "w") as f:
+        f.write("1,1,1,1,4,4,0,0,1\n")
+    assert generate_uav_dataset_dictionaries(str(tmp_path)) == []
+
+
+def test_coco_generator_with_mapping(tmp_path):
+    _png(tmp_path / "img1.png", 30, 40)
+    coco = {
+        "images": [{"id": 5, "file_name": "img1.png", "height": 30, "width": 40}],
+        "annotations": [
+            {"id": 1, "image_id": 5, "category_id": 3, "bbox": [1, 2, 10, 8], "iscrowd": 0},
+            {"id": 2, "image_id": 5, "category_id": 99, "bbox": [3, 3, 5, 5], "iscrowd": 0},
+        ],
+    }
+    with open(tmp_path / "ann.json", "w") as f:
+        json.dump(coco, f)
+    from apse_uav_tpu.data import COCO_CATEGORY_IDS_TO_UAV
+
+    d = generate_coco_dataset_dictionaries(
+        str(tmp_path / "ann.json"), str(tmp_path), category_mapping=COCO_CATEGORY_IDS_TO_UAV
+    )
+    assert len(d) == 1
+    assert [a["category_id"] for a in d[0]["annotations"]] == [0]  # coco car -> uav car
+
+
+def test_cowc_generator(tmp_path):
+    _png(tmp_path / "scene.png", 64, 64, value=90)
+    ann = np.zeros((64, 64), np.uint8)
+    ann[10, 12] = 255
+    ann[40, 50] = 255
+    Image.fromarray(ann).save(tmp_path / "scene_Annotated_Cars.png")
+    d = generate_cowc_dataset_dictionaries(str(tmp_path), box_size=10, tile=64)
+    assert len(d) == 1
+    boxes = [a["bbox"] for a in d[0]["annotations"]]
+    assert len(boxes) == 2
+    assert boxes[0][2] == 10 and boxes[0][3] == 10
+
+
+def test_detection_loader_fixed_shapes(tmp_path):
+    for i in range(4):
+        _png(tmp_path / f"im{i}.png", 50, 70, value=50 + i)
+    dicts = [
+        {
+            "file_name": str(tmp_path / f"im{i}.png"),
+            "image_id": i,
+            "height": 50,
+            "width": 70,
+            "annotations": [
+                {"bbox": [5, 5, 20, 15], "bbox_mode": "xywh", "category_id": 1, "is_crowd": 0}
+            ],
+        }
+        for i in range(4)
+    ]
+    cfg = LoaderConfig(train_size=(96, 128), min_size=64, max_size=128, max_gt=8, batch_size=2)
+    loader = DetectionLoader(dicts, cfg, training=True, seed=0)
+    images, gt = next(iter(loader))
+    assert images.shape == (2, 96, 128, 3)
+    assert gt["boxes"].shape == (2, 8, 4)
+    assert gt["valid"].sum() == 2
+    b = gt["boxes"][0][gt["valid"][0]][0]
+    assert (b[2] - b[0]) > 0 and (b[3] - b[1]) > 0
+    # Eval mode terminates.
+    ev = DetectionLoader(dicts, cfg, training=False)
+    batches = list(ev)
+    assert len(batches) == 2
+
+
+def test_mot_loader(tmp_path):
+    import jax.numpy as jnp
+
+    seq = tmp_path / "MOT-02"
+    os.makedirs(seq / "img1")
+    os.makedirs(seq / "gt")
+    for f in range(1, 5):
+        _png(seq / "img1" / f"{f:06d}.jpg", 32, 48)
+    with open(seq / "seqinfo.ini", "w") as f:
+        f.write("[Sequence]\nseqLength=4\nimWidth=48\nimHeight=32\n")
+    with open(seq / "gt" / "gt.txt", "w") as f:
+        for fr in range(1, 5):
+            f.write(f"{fr},1,2,3,10,8,1,1,1\n")
+            f.write(f"{fr},2,20,10,12,9,1,1,1\n")
+            f.write(f"{fr},3,1,1,5,5,0,1,1\n")  # conf 0 -> dropped
+
+    from apse_uav_tpu.data.mot import MOTLoader, RoiFeaturesGenerator
+
+    def fake_backbone(images):
+        h, w = images.shape[1] // 4, images.shape[2] // 4
+        return {"p2": jnp.ones((1, h, w, 6))}
+
+    gen = RoiFeaturesGenerator(fake_backbone, roi_size=4)
+    loader = MOTLoader(str(seq), gen, frames_in_batch=2)
+    assert loader.num_of_batches == 2
+    ids, rois = loader.get_training_batch(0)
+    assert ids.tolist() == [1, 2, 1, 2]
+    assert rois.shape == (4, 6, 4, 4)
