@@ -1,0 +1,156 @@
+"""Tracker test harnesses (standard_rcnn_tracker_test.py equivalent).
+
+Modes:
+* ``--sequence DIR``  — run over an image directory with FPS timing
+  (reference :98-135).
+* ``--mots_evaluation SEQMAP --kitti_root DIR`` — write uint16 id PNG
+  results per KITTI-MOTS sequence for mots_eval (reference :164-200).
+* ``--webcam`` — live camera loop (reference :74-95).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    mode = p.add_mutually_exclusive_group(required=True)
+    mode.add_argument("--sequence", help="image directory")
+    mode.add_argument("--mots_evaluation", help="seqmap file")
+    mode.add_argument("--webcam", action="store_true")
+    p.add_argument("--kitti_root", default=None, help="KITTI-MOTS images root (one dir per sequence)")
+    p.add_argument("--output_dir", default="mots_results")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--assoc_weights", default=None)
+    p.add_argument("--depth", type=int, default=101, choices=(50, 101))
+    p.add_argument("--num_classes", type=int, default=80)
+    p.add_argument("--confidence", type=float, default=0.5)
+    p.add_argument("--batch", type=int, default=4)
+    return p
+
+
+def _build_tracker(args, orig_hw):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from apse_uav_tpu.dcnn.config import TrackerConfig, mask_rcnn_r50_fpn, mask_rcnn_r101_fpn
+    from apse_uav_tpu.dcnn.engines import RcnnTracker
+    from apse_uav_tpu.dcnn.models.association import AssociationHead
+    from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+    from apse_uav_tpu.dcnn import weights as W
+
+    make = mask_rcnn_r50_fpn if args.depth == 50 else mask_rcnn_r101_fpn
+    cfg = make(num_classes=args.num_classes)
+    cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=args.confidence))
+    model = MaskRCNN(cfg=cfg)
+    params = jax.jit(
+        lambda rng: model.init(rng, jnp.zeros((1, 64, 64, 3)), mode="inference")["params"]
+    )(jax.random.PRNGKey(0))
+    flat = W.map_detectron2_weights(W.load_torch_file(args.weights), args.depth, cfg.mask_on)
+    params, missing, _ = W.load_into_params(params, flat)
+    if missing:
+        print(f"warning: {len(missing)} params left at init")
+    tcfg = TrackerConfig()
+    head = AssociationHead(embedding_dim=tcfg.embedding_dim)
+    assoc_params = head.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, cfg.fpn_channels, tcfg.roi_size, tcfg.roi_size))
+    )["params"]
+    if args.assoc_weights:
+        from apse_uav_tpu.train.checkpoint import load_state
+
+        state = load_state(os.path.dirname(args.assoc_weights) or ".", os.path.basename(args.assoc_weights))
+        if state is not None:
+            assoc_params = state["params"]
+    return RcnnTracker(cfg, tcfg, params, assoc_params, orig_hw)
+
+
+def run_sequence(args) -> int:
+    import cv2
+
+    names = sorted(os.listdir(args.sequence))
+    first = cv2.imread(os.path.join(args.sequence, names[0]))
+    tracker = _build_tracker(args, first.shape[:2])
+    times = []
+    for start in range(0, len(names), args.batch):
+        chunk = names[start : start + args.batch]
+        frames = np.stack([cv2.imread(os.path.join(args.sequence, n)) for n in chunk])
+        t0 = time.perf_counter()
+        tracker.process_frames(frames)
+        dt = time.perf_counter() - t0
+        times.append(dt / len(chunk))
+        print(f"frame {start + len(chunk)}/{len(names)}: {len(chunk) / dt:.2f} fps", end="\r")
+    print(f"\naverage fps: {1.0 / np.mean(times[1:] or times):.2f}")
+    return 0
+
+
+def run_mots(args) -> int:
+    from PIL import Image
+
+    from apse_uav_tpu.evaluation.mots import load_seqmap
+    from apse_uav_tpu.evaluation.mots_export import result_image_from_recent
+
+    seq_names, max_frames = load_seqmap(args.mots_evaluation)
+    for seq in seq_names:
+        seq_dir = os.path.join(args.kitti_root, seq)
+        out_dir = os.path.join(args.output_dir, seq)
+        os.makedirs(out_dir, exist_ok=True)
+        names = sorted(os.listdir(seq_dir))[: max_frames[seq] + 1]
+        import cv2
+
+        first = cv2.imread(os.path.join(seq_dir, names[0]))
+        tracker = _build_tracker(args, first.shape[:2])
+        for start in range(0, len(names), args.batch):
+            chunk = names[start : start + args.batch]
+            frames = np.stack([cv2.imread(os.path.join(seq_dir, n)) for n in chunk])
+            recents = tracker.process_frames(frames)
+            for b, name in enumerate(chunk):
+                recent = {k: v[b] for k, v in recents.items()}
+                img = result_image_from_recent(recent, first.shape[:2])
+                Image.fromarray(img).save(os.path.join(out_dir, f"{start + b:06d}.png"))
+        print(f"sequence {seq}: wrote {len(names)} result images")
+    return 0
+
+
+def run_webcam(args) -> int:
+    import cv2
+
+    from apse_uav_tpu.utils.visualizer import TrackVisualizer
+
+    cam = cv2.VideoCapture(0)
+    ret, frame = cam.read()
+    if not ret:
+        print("no webcam available")
+        return 1
+    tracker = _build_tracker(args, frame.shape[:2])
+    vis = TrackVisualizer()
+    while True:
+        ret, frame = cam.read()
+        if not ret:
+            break
+        recent = tracker.next_frame(frame)
+        cv2.imshow("tracking", vis.draw(frame, recent))
+        if cv2.waitKey(1) == ord("q"):
+            break
+    return 0
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.sequence:
+        return run_sequence(args)
+    if args.mots_evaluation:
+        if not args.kitti_root:
+            raise SystemExit("--mots_evaluation requires --kitti_root")
+        return run_mots(args)
+    return run_webcam(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

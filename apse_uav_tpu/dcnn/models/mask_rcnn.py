@@ -82,6 +82,10 @@ class MaskRCNN(nn.Module):
             return self.inference(images)
         if mode == "losses":
             return self.losses(images, gt, rng)
+        if mode == "losses_gt_proposals":
+            # PrecomputedProposals regime (finetune_segmentation.py:82-93):
+            # the RPN is bypassed and GT boxes feed the ROI heads directly.
+            return self.losses(images, gt, rng, gt_proposals=True)
         raise ValueError(mode)
 
     def inference(self, images: Array) -> tuple[dict[str, Array], dict[str, Array]]:
@@ -125,7 +129,7 @@ class MaskRCNN(nn.Module):
         dets = jax.vmap(per_image)(logits, deltas, pool_feats)
         return dets, feats
 
-    def losses(self, images: Array, gt: dict[str, Array], rng: Array) -> dict[str, Array]:
+    def losses(self, images: Array, gt: dict[str, Array], rng: Array, gt_proposals: bool = False) -> dict[str, Array]:
         """Training losses.
 
         gt: boxes (B, G, 4), classes (B, G), valid (B, G), and (if mask_on)
@@ -144,13 +148,18 @@ class MaskRCNN(nn.Module):
         rpn_rngs, roi_rngs = rngs[:b], rngs[b : 2 * b]
 
         def per_image(rng_rpn, rng_roi, logits_i, deltas_i, feats_i, gt_i):
-            losses = rpn_losses(
-                rng_rpn, logits_i, deltas_i, level_shapes, gt_i["boxes"], gt_i["valid"], cfg.anchors, cfg.rpn
-            )
-            boxes, scores, valid = select_proposals(
-                logits_i, deltas_i, level_shapes, image_hw, cfg.anchors, cfg.rpn, training=True
-            )
-            boxes = jax.lax.stop_gradient(boxes)
+            if gt_proposals:
+                losses = {}
+                boxes = gt_i["boxes"]
+                valid = gt_i["valid"]
+            else:
+                losses = rpn_losses(
+                    rng_rpn, logits_i, deltas_i, level_shapes, gt_i["boxes"], gt_i["valid"], cfg.anchors, cfg.rpn
+                )
+                boxes, scores, valid = select_proposals(
+                    logits_i, deltas_i, level_shapes, image_hw, cfg.anchors, cfg.rpn, training=True
+                )
+                boxes = jax.lax.stop_gradient(boxes)
             sample = match_proposals_to_gt(
                 boxes, valid, gt_i["boxes"], gt_i["classes"], gt_i["valid"], cfg.roi, rng_roi
             )

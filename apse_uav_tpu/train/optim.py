@@ -21,6 +21,10 @@ _SUBMODULE_PREFIXES = {
     "backbone": ("backbone",),
     "proposal_generator": ("rpn_head",),
     "roi_heads": ("box_head", "mask_head"),
+    # Granular selections (finetune_segmentation.py:155 trains only the mask
+    # head; finetune_faster_rcnn_aerial.py:65-68 trains RPN + box regression).
+    "mask_head": ("mask_head",),
+    "box_head": ("box_head",),
 }
 
 

@@ -99,11 +99,14 @@ def dcnn_log_line(recent: dict, host_id: int, frame_idx: int, image_hw: tuple[in
     for ob_id in range(1, highest + 1):
         if ob_id in ids:
             k = ids.index(ob_id)
+            cx, cy = closest[k]
             parts += [
                 str(int(centroids[k][0])),
                 str(int(centroids[k][1])),
-                str(closest[k][0]),
-                str(closest[k][1]),
+                # Ints like the shipped data CSVs (the consumer,
+                # readCentroidData at aruco_detect.py:118, does int()).
+                "nan" if isinstance(cx, str) or np.isnan(cx) else str(int(cx)),
+                "nan" if isinstance(cy, str) or np.isnan(cy) else str(int(cy)),
             ]
         else:
             parts += [""] * 4
