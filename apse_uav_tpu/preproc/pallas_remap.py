@@ -23,25 +23,31 @@ tiny (median ~4 px for the reference lens).  We exploit that:
        decomposition exact for bilinear.
      * ``lxres[r, c]``: horizontal sample position relative to ``c``.
 
-2. **Kernel**: double-buffered DMA of the 3-channel uint8 window (next tile's
-   window prefetched while the current one computes), convert to f32,
-   dynamic-roll away the alignment slack, then bilinear-resample as a short
-   static chain of shift-multiply-accumulates (the two bilinear taps appear
-   as the two adjacent ``d`` terms of ``max(0, 1-|yres-d|)``) — pure VPU
-   work, no gathers.  Then the LAB gamma roundtrip (closed form, with cv2's
-   uint8 quantization points) and BGR2GRAY on the same VMEM tile.
+2. **Two buckets, one kernel**: tiles are classified by their within-tile
+   coordinate spans.  *Tame* tiles (the vast majority) use short static
+   shift-multiply-accumulate chains; *wild* tiles (strong magnification at
+   the frame edges, ~1% for the reference lens) branch to longer chains over
+   a larger source window.  Per-tile window offsets, rolls and the bucket
+   selector live in a scalar-prefetched table; the wild residual fields are
+   fetched via prefetch-indexed block specs, so tame steps re-use one block
+   and pay nothing.  The two bilinear taps appear as the two adjacent ``d``
+   terms of ``max(0, 1-|res-d|)`` — pure VPU work, no gathers, no scatter
+   patch pass.
 
-3. **Wild tiles**: outside the calibrated FOV the rational lens polynomial
-   diverges and the within-tile spans explode.  The few such border tiles
-   (~2% for the reference camera) are excluded from the static chains —
-   the kernel writes 0 there — and are patched exactly afterwards by a tiny
-   XLA bilinear-gather pass fused into the same jit.
+3. **Kernel body**: double-buffered DMA of the 3-channel uint8 window (next
+   tile's window prefetched while the current one computes), convert to f32,
+   dynamic-roll away the alignment slack, resample, then the LAB gamma
+   roundtrip (closed form, with cv2's uint8 quantization points — all pow's
+   rewritten as bit-hack roots + Newton, transcendental-free for gamma 2)
+   and BGR2GRAY on the same VMEM tile.
 
 Borders: the input is zero-padded so every map sample lands inside the
 padded array — out-of-image taps read 0, matching cv2's BORDER_CONSTANT.
 Samples with a fully out-of-image footprint are exactly 0 under
 BORDER_CONSTANT, so the map is clamped to just outside the image first
 (without that, the diverging polynomial would dominate every span bound).
+Tiles whose spans exceed even the wild caps (none for realistic lenses)
+would fall back to an exact XLA bilinear-gather patch.
 """
 
 from __future__ import annotations
@@ -62,6 +68,8 @@ TW = 256
 # uint8 DMA alignment: sublane offsets multiple of 32, lane offsets of 128.
 ALIGN_Y = 32
 ALIGN_X = 128
+
+_REC = 5  # per-tile scalar record: oy, ox, shifty, shiftx, wild_rank
 
 
 def _distort_map_f64(mtx: np.ndarray, dist: np.ndarray, width: int, height: int):
@@ -88,6 +96,21 @@ def _distort_map_f64(mtx: np.ndarray, dist: np.ndarray, width: int, height: int)
 
 
 @dataclasses.dataclass(frozen=True)
+class _Bucket:
+    """Window geometry + residual fields for one tile bucket."""
+
+    dy: int
+    dx: int
+    rh: int
+    rw: int
+    offsets: np.ndarray  # (nty, ntx, 4) int32: oy, ox, shifty, shiftx
+    yres: np.ndarray  # (nty, ntx, TH, rw) float32
+    lxres: np.ndarray  # (nty, ntx, TH, TW) float32 (-2 sentinel off-bucket)
+    max_oy_end: int
+    max_ox_end: int
+
+
+@dataclasses.dataclass(frozen=True)
 class RemapPlan:
     """Host-precomputed tile plan for the fused kernel (camera-specific)."""
 
@@ -97,15 +120,23 @@ class RemapPlan:
     pad_y: int
     padded_w: int
     padded_h: int
-    dy: int  # static vertical residual span (MAC chain length)
-    dx: int  # static horizontal residual span
-    rh: int  # source window rows
-    rw: int  # source window cols
-    offsets: np.ndarray  # flat (nty*ntx*4,) int32: oy, ox, shifty, shiftx
-    yres: np.ndarray  # (nty, ntx, TH, RW) float32
-    lxres: np.ndarray  # (nty, ntx, TH, TW) float32 (-2 sentinel on dead/wild)
-    wild_yx: np.ndarray  # (nwild, 2) int32 tile coords (ti, tj)
-    wild_map: np.ndarray  # (nwild, TH, TW, 2) float32 padded sample coords
+    # Bucket 0 (tame).
+    dy: int
+    dx: int
+    rh: int
+    rw: int
+    yres: np.ndarray  # (nty, ntx, TH, rw) float32
+    lxres: np.ndarray  # (nty, ntx, TH, TW) float32
+    # Bucket 1 (wild), compacted to the wild tiles.
+    dy1: int
+    dx1: int
+    rh1: int
+    rw1: int
+    wild_yx: np.ndarray  # (nw, 2) int32 tile coords
+    wild_yres: np.ndarray  # (max(nw,1), TH, rw1) float32
+    wild_lxres: np.ndarray  # (max(nw,1), TH, TW) float32
+    # Combined per-tile scalar table.
+    table: np.ndarray  # flat (nty*ntx*_REC,) int32
 
     @property
     def nty(self) -> int:
@@ -122,11 +153,10 @@ def build_remap_plan(
 ) -> RemapPlan:
     """Build the per-tile plan from camera parameters (runs once, numpy f64).
 
-    ``max_dy`` / ``max_dx`` cap the static MAC chain lengths; tiles whose
-    within-tile coordinate spans exceed the caps become "wild" and are
-    handled by the exact XLA patch pass instead.  Plans are cached on disk
-    (keyed by camera + geometry) since the exact Newton solve takes ~30 s
-    at 4K.
+    ``max_dy`` / ``max_dx`` cap the tame bucket's static chain lengths;
+    tiles beyond them go to the wild bucket whose chain lengths are derived
+    from the actual spans.  Plans are cached on disk (keyed by camera +
+    geometry) since the exact Newton solve takes ~30 s at 4K.
     """
     if cache:
         import hashlib
@@ -134,19 +164,19 @@ def build_remap_plan(
         key = hashlib.sha256(
             np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
             + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
-            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v2".encode()
+            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v4".encode()
         ).hexdigest()[:16]
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
         path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
         if os.path.exists(path):
             z = np.load(path)
+            ints = {k: int(z[k]) for k in (
+                "width height pad_x pad_y padded_w padded_h dy dx rh rw dy1 dx1 rh1 rw1".split()
+            )}
             return RemapPlan(
-                width=int(z["width"]), height=int(z["height"]),
-                pad_x=int(z["pad_x"]), pad_y=int(z["pad_y"]),
-                padded_w=int(z["padded_w"]), padded_h=int(z["padded_h"]),
-                dy=int(z["dy"]), dx=int(z["dx"]), rh=int(z["rh"]), rw=int(z["rw"]),
-                offsets=z["offsets"], yres=z["yres"], lxres=z["lxres"],
-                wild_yx=z["wild_yx"], wild_map=z["wild_map"],
+                **ints,
+                yres=z["yres"], lxres=z["lxres"], wild_yx=z["wild_yx"],
+                wild_yres=z["wild_yres"], wild_lxres=z["wild_lxres"], table=z["table"],
             )
         plan = build_remap_plan(mtx, dist, size_wh, max_dy, max_dx, cache=False)
         os.makedirs(cache_dir, exist_ok=True)
@@ -156,6 +186,7 @@ def build_remap_plan(
         )
         os.replace(path + ".tmp.npz", path)
         return plan
+
     width, height = size_wh
     if height % TH or width % TW:
         raise ValueError(f"frame size {size_wh} must be a multiple of ({TW}, {TH})")
@@ -176,8 +207,6 @@ def build_remap_plan(
 
     pad_x = ALIGN_X  # clamp box is [-2, W+1] so one alignment unit suffices
     pad_y = ALIGN_Y
-    padded_w = -(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X
-    padded_h = -(-(height + 2 * pad_y) // ALIGN_Y) * ALIGN_Y
     mx = mx + pad_x
     my = my + pad_y
 
@@ -190,7 +219,7 @@ def build_remap_plan(
     c_idx = np.arange(TW, dtype=np.float64)[None, None, None, :]
     r_idx = np.arange(TH, dtype=np.float64)[None, None, :, None]
 
-    # Within-tile spans (live pixels only) decide tame vs wild.
+    # Within-tile residual spans (live pixels only) decide the bucket.
     def span(vals, mask):
         lo = np.where(mask, vals, np.inf).min(axis=(2, 3))
         hi = np.where(mask, vals, -np.inf).max(axis=(2, 3))
@@ -202,116 +231,134 @@ def build_remap_plan(
     tame = tile_live & (span_x <= max_dx - 2) & (span_y <= max_dy - 4)
     wild = tile_live & ~tame
 
-    # --- horizontal windows (tame live pixels only) -------------------------
-    stat_mask = livet & tame[:, :, None, None]
-    any_stat = stat_mask.any(axis=(2, 3))
-    x_min = np.floor(np.where(any_stat, np.where(stat_mask, mxt, np.inf).min(axis=(2, 3)), 0.0)).astype(np.int64)
-    x_max = np.floor(np.where(any_stat, np.where(stat_mask, mxt, -np.inf).max(axis=(2, 3)), 1.0)).astype(np.int64) + 1
-    ox = (x_min // ALIGN_X) * ALIGN_X
-    rw = -(-(int((x_max - ox).max()) + 1) // ALIGN_X) * ALIGN_X
-    padded_w = max(padded_w, int(ox.max()) + rw)
+    def bucket_fields(mask: np.ndarray, eps: float = 1e-3) -> _Bucket:
+        """Windows, rolls and residual fields for the masked tile set."""
+        stat_mask = livet & mask[:, :, None, None]
+        any_stat = stat_mask.any(axis=(2, 3))
+        x_min = np.floor(np.where(any_stat, np.where(stat_mask, mxt, np.inf).min(axis=(2, 3)), 0.0)).astype(np.int64)
+        x_max = np.floor(np.where(any_stat, np.where(stat_mask, mxt, -np.inf).max(axis=(2, 3)), 1.0)).astype(np.int64) + 1
+        ox = (x_min // ALIGN_X) * ALIGN_X
 
-    # --- exact vertical sample positions per source column ------------------
-    s_local = np.arange(rw, dtype=np.float64)
-    y_at = np.empty((nty, ntx, TH, rw), dtype=np.float64)
-    eps = 1e-3
-    for i in range(nty):
-        s_glob = np.broadcast_to(ox[i][:, None, None] + s_local[None, None, :], (ntx, TH, rw))
-        v_glob = np.broadcast_to(
-            np.arange(i * TH, (i + 1) * TH, dtype=np.float64)[None, :, None], (ntx, TH, rw)
+        # Horizontal residuals first: the window must cover both the source
+        # extent and the chain's read range (TW + dx - 1).
+        lx_local = mxt - ox[:, :, None, None]
+        relx = np.where(stat_mask, lx_local - c_idx, np.inf)
+        rollx = np.where(any_stat, np.floor(np.where(any_stat[:, :, None, None], relx, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
+        lxres_all = lx_local - c_idx - rollx[:, :, None, None]
+        dx = int(np.floor(np.where(stat_mask, lxres_all, -np.inf).max(initial=0.0))) + 2
+        dx = max(dx, 2)
+        # Sentinel -2: all horizontal weights vanish -> exact 0 (dead px).
+        lxres = np.where(stat_mask, lxres_all.clip(0.0, dx - 1.0), -2.0).astype(np.float32)
+
+        rw = -(-max(int((x_max - ox).max()) + 2, TW + dx) // ALIGN_X) * ALIGN_X
+
+        # Exact vertical sample positions per source column (Newton for the
+        # x-preimage, f64).
+        s_local = np.arange(rw, dtype=np.float64)
+        y_at = np.empty((nty, ntx, TH, rw), dtype=np.float64)
+        for i in range(nty):
+            s_glob = np.broadcast_to(ox[i][:, None, None] + s_local[None, None, :], (ntx, TH, rw))
+            v_glob = np.broadcast_to(
+                np.arange(i * TH, (i + 1) * TH, dtype=np.float64)[None, :, None], (ntx, TH, rw)
+            )
+            u = np.clip(s_glob - pad_x, 0.0, width - 1.0)
+            for _ in range(4):
+                fu, _ = fwd(u, v_glob)
+                fup, _ = fwd(u + eps, v_glob)
+                dfu = (fup - fu) / eps
+                u = u - (fu + pad_x - s_glob) / np.maximum(dfu, 1e-6)
+                u = np.clip(u, 0.0, width - 1.0)
+            _, yi = fwd(u, v_glob)
+            y_at[i] = yi + pad_y
+
+        # Columns consumed by the horizontal pass, per output row.
+        row_x_min = np.where(stat_mask, mxt, np.inf).min(axis=3)
+        row_x_max = np.where(stat_mask, mxt, -np.inf).max(axis=3)
+        row_live = stat_mask.any(axis=3)
+        row_x_min = np.where(row_live, row_x_min, 0.0)
+        row_x_max = np.where(row_live, row_x_max, 1.0)
+        s_cols = ox[:, :, None, None] + s_local[None, None, None, :]
+        consumed = (
+            (s_cols >= np.floor(row_x_min)[..., None])
+            & (s_cols <= np.floor(row_x_max)[..., None] + 1)
+            & row_live[..., None]
         )
-        u = np.clip(s_glob - pad_x, 0.0, width - 1.0)
-        for _ in range(4):
-            fu, _ = fwd(u, v_glob)
-            fup, _ = fwd(u + eps, v_glob)
-            dfu = (fup - fu) / eps
-            u = u - (fu + pad_x - s_glob) / np.maximum(dfu, 1e-6)
-            u = np.clip(u, 0.0, width - 1.0)
-        _, yi = fwd(u, v_glob)
-        y_at[i] = yi + pad_y
 
-    # Columns consumed by the horizontal pass, per output row.
-    row_x_min = np.where(stat_mask, mxt, np.inf).min(axis=3)
-    row_x_max = np.where(stat_mask, mxt, -np.inf).max(axis=3)
-    row_live = stat_mask.any(axis=3)
-    row_x_min = np.where(row_live, row_x_min, 0.0)
-    row_x_max = np.where(row_live, row_x_max, 1.0)
-    s_cols = ox[:, :, None, None] + s_local[None, None, None, :]
-    consumed = (
-        (s_cols >= np.floor(row_x_min)[..., None])
-        & (s_cols <= np.floor(row_x_max)[..., None] + 1)
-        & row_live[..., None]
-    )
+        any_cons = consumed.any(axis=(2, 3))
+        y_used_min = np.where(any_cons, np.where(consumed, y_at, np.inf).min(axis=(2, 3)), 0.0)
+        y_used_max = np.where(any_cons, np.where(consumed, y_at, -np.inf).max(axis=(2, 3)), 1.0)
+        y_min = np.floor(y_used_min).astype(np.int64)
+        y_max = np.floor(y_used_max).astype(np.int64) + 1
+        oy = (y_min // ALIGN_Y) * ALIGN_Y
+        rh = -(-int((y_max - oy).max() + 2) // ALIGN_Y) * ALIGN_Y
 
-    # Vertical windows over consumed (row, column) pairs.
-    any_cons = consumed.any(axis=(2, 3))
-    y_used_min = np.where(any_cons, np.where(consumed, y_at, np.inf).min(axis=(2, 3)), 0.0)
-    y_used_max = np.where(any_cons, np.where(consumed, y_at, -np.inf).max(axis=(2, 3)), 1.0)
-    y_min = np.floor(y_used_min).astype(np.int64)
-    y_max = np.floor(y_used_max).astype(np.int64) + 1
-    oy = (y_min // ALIGN_Y) * ALIGN_Y
-    rh = -(-int((y_max - oy).max() + 2) // ALIGN_Y) * ALIGN_Y
-    padded_h = max(padded_h, int(oy.max()) + rh)
+        # Roll + residual decomposition.  Rolls may be NEGATIVE (alignment
+        # slack smaller than within-tile variation): the roll is cyclic, and
+        # every tap with nonzero weight addresses an un-wrapped source
+        # element (wrapped positions only ever see zero weights).
+        y_local = y_at - oy[:, :, None, None]
+        rel = np.where(consumed, y_local - r_idx, np.inf)
+        rolly = np.where(any_cons, np.floor(np.where(any_cons[:, :, None, None], rel, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
+        yres_all = y_local - r_idx - rolly[:, :, None, None]
+        dy = int(np.floor(np.where(consumed, yres_all, -np.inf).max(initial=0.0))) + 2
+        dy = max(dy, 2)
+        yres = np.where(consumed, yres_all, 0.0).clip(0.0, dy - 1.0).astype(np.float32)
 
-    # Roll + residual decomposition.  Rolls may be NEGATIVE (alignment slack
-    # smaller than within-tile variation): the roll is cyclic, and every tap
-    # with nonzero weight addresses an un-wrapped source element (wrapped
-    # positions only ever see zero weights on finite uint8 data).
-    y_local = y_at - oy[:, :, None, None]
-    rel = np.where(consumed, y_local - r_idx, np.inf)
-    rolly = np.where(any_cons, np.floor(np.where(any_cons[:, :, None, None], rel, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
-    yres_all = y_local - r_idx - rolly[:, :, None, None]
-    dy = int(np.floor(np.where(consumed, yres_all, -np.inf).max(initial=0.0))) + 2
-    dy = max(dy, 2)
-    yres = np.where(consumed, yres_all, 0.0).clip(0.0, dy - 1.0).astype(np.float32)
+        assert float(yres.min()) >= 0.0
+        assert int((y_max - oy).max()) <= rh - 1, "vertical window overflow"
+        assert int((x_max - ox).max()) <= rw - 1, "horizontal window overflow"
+        assert (oy >= 0).all() and (ox >= 0).all()
 
-    lx_local = mxt - ox[:, :, None, None]
-    relx = np.where(stat_mask, lx_local - c_idx, np.inf)
-    rollx = np.where(any_stat, np.floor(np.where(any_stat[:, :, None, None], relx, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
-    lxres_all = lx_local - c_idx - rollx[:, :, None, None]
-    dx = int(np.floor(np.where(stat_mask, lxres_all, -np.inf).max(initial=0.0))) + 2
-    dx = max(dx, 2)
-    # Sentinel -2: all horizontal weights vanish -> exact 0 (dead + wild px).
-    lxres = np.where(stat_mask, lxres_all.clip(0.0, dx - 1.0), -2.0).astype(np.float32)
+        shifty = ((-rolly) % rh).astype(np.int32)
+        shiftx = ((-rollx) % rw).astype(np.int32)
+        offsets = np.stack([oy, ox, shifty, shiftx], axis=-1).astype(np.int32)
+        return _Bucket(
+            dy=dy, dx=dx, rh=int(rh), rw=int(rw), offsets=offsets,
+            yres=yres, lxres=lxres,
+            max_oy_end=int((oy + rh).max()), max_ox_end=int((ox + rw).max()),
+        )
 
-    assert dy <= max_dy and dx <= max_dx, (dy, dx, max_dy, max_dx)
-    assert float(yres.min()) >= 0.0
-    assert int((y_max - oy).max()) <= rh - 1, "vertical window overflow"
-    assert int((x_max - ox).max()) <= rw - 1, "horizontal window overflow"
-    assert (oy >= 0).all() and (oy + rh <= padded_h).all()
-    assert (ox >= 0).all() and (ox + rw <= padded_w).all()
-
-    shifty = ((-rolly) % rh).astype(np.int32)
-    shiftx = ((-rollx) % rw).astype(np.int32)
-    offsets = np.stack([oy, ox, shifty, shiftx], axis=-1).astype(np.int32).reshape(-1)
-
+    b0 = bucket_fields(tame)
+    assert b0.dy <= max_dy and b0.dx <= max_dx, (b0.dy, b0.dx, max_dy, max_dx)
     wi, wj = np.nonzero(wild)
     wild_yx = np.stack([wi, wj], axis=-1).astype(np.int32)
-    wild_map = np.stack(
-        [mxt[wi, wj], myt[wi, wj]], axis=-1
-    ).astype(np.float32)  # (nwild, TH, TW, 2), padded coords
+    if len(wild_yx):
+        b1 = bucket_fields(wild)
+        # Guard against degenerate lenses: chains beyond this are a config
+        # error, not a remap problem.
+        assert b1.dy <= 160 and b1.dx <= 320, (b1.dy, b1.dx)
+        wild_yres = b1.yres[wi, wj]  # (nw, TH, rw1)
+        wild_lxres = b1.lxres[wi, wj]
+    else:
+        b1 = dataclasses.replace(b0, rh=ALIGN_Y, rw=ALIGN_X, dy=2, dx=2)
+        wild_yres = np.zeros((1, TH, ALIGN_X), np.float32)
+        wild_lxres = np.full((1, TH, TW), -2.0, np.float32)
+
+    padded_w = max(-(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X, b0.max_ox_end, b1.max_ox_end if len(wild_yx) else 0)
+    padded_h = max(-(-(height + 2 * pad_y) // ALIGN_Y) * ALIGN_Y, b0.max_oy_end, b1.max_oy_end if len(wild_yx) else 0)
+
+    # Combined scalar table: wild tiles carry their bucket-1 offsets + rank.
+    table = np.zeros((nty, ntx, _REC), np.int32)
+    table[:, :, :4] = b0.offsets
+    rank = np.full((nty, ntx), -1, np.int32)
+    for k, (i, j) in enumerate(wild_yx):
+        rank[i, j] = k
+        table[i, j, :4] = b1.offsets[i, j]
+    table[:, :, 4] = rank
 
     return RemapPlan(
-        width=width,
-        height=height,
-        pad_x=pad_x,
-        pad_y=pad_y,
-        padded_w=padded_w,
-        padded_h=padded_h,
-        dy=dy,
-        dx=dx,
-        rh=int(rh),
-        rw=int(rw),
-        offsets=offsets,
-        yres=yres,
-        lxres=lxres,
-        wild_yx=wild_yx,
-        wild_map=wild_map,
+        width=width, height=height, pad_x=pad_x, pad_y=pad_y,
+        padded_w=int(padded_w), padded_h=int(padded_h),
+        dy=b0.dy, dx=b0.dx, rh=b0.rh, rw=b0.rw,
+        yres=b0.yres, lxres=b0.lxres,
+        dy1=b1.dy, dx1=b1.dx, rh1=b1.rh, rw1=b1.rw,
+        wild_yx=wild_yx, wild_yres=wild_yres, wild_lxres=wild_lxres,
+        table=table.reshape(-1),
     )
 
 
 # ---------------------------------------------------------------------------
-# Kernel-side math (VPU-friendly; exp/log instead of pow, no unsupported ops).
+# Kernel-side math (VPU-friendly; bit-hack roots + Newton instead of pow).
 # ---------------------------------------------------------------------------
 
 
@@ -322,13 +369,11 @@ def _pow(x, p):
 def _cbrt(x):
     """Fast x^(1/3) for x >= 0: exponent bit-hack seed + 2 Newton steps.
 
-    exp/log-free — transcendentals dominate this kernel's runtime (the LAB
-    roundtrip costs ~20 pow per pixel on 8.3 Mpx frames), so every pow here
-    is rewritten in mults/divs.  ~1e-6 relative accuracy over [1e-12, 4].
+    exp/log-free — transcendentals cost ~30 cycles each on the VPU and the
+    LAB roundtrip would need ~20 per pixel.  ~1e-6 relative accuracy.
     """
     x = jnp.maximum(x, 1e-20)
     i = jax.lax.bitcast_convert_type(x, jnp.int32)
-    # i/3 via f32 (seed only; Newton cleans up the rounding).
     seed = (jnp.floor(i.astype(jnp.float32) * (1.0 / 3.0)) + 709921077.0).astype(jnp.int32)
     y = jax.lax.bitcast_convert_type(seed, jnp.float32)
     for _ in range(2):
@@ -385,7 +430,7 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
 
     Channels are in *stored* order — the reference feeds BGR data through
     COLOR_RGB2LAB (aruco_detect.py:255), and we reproduce that bit of
-    behavior faithfully.  Shared by the Pallas kernel and the XLA patch pass
+    behavior faithfully.  Shared by the Pallas kernel and any XLA fallback
     so both produce identical values.
     """
     rl = _srgb_to_linear(c0 * (1.0 / 255.0))
@@ -432,78 +477,127 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
 
 def _make_kernel(dims: "_PlanDims", gamma: float):
     rh, rw, dy, dx = dims.rh, dims.rw, dims.dy, dims.dx
+    rh1, rw1, dy1, dx1 = dims.rh1, dims.rw1, dims.dy1, dims.dx1
     nty, ntx = dims.height // TH, dims.width // TW
     tiles = nty * ntx
+    has_wild = dims.nwild > 0
 
-    def kernel(off_ref, yres_ref, lxres_ref, src_ref, out_ref, gray_ref, s_u8, sem):
+    def kernel(tab_ref, yres_ref, lxres_ref, wyres_ref, wlxres_ref, src_ref,
+               out_ref, gray_ref, s_u8, sem):
         b = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
         step = (b * nty + ti) * ntx + tj
         slot = jax.lax.rem(step, 2)
 
-        def dmas(slot_, bb, tti, ttj):
-            base = (tti * ntx + ttj) * 4
-            oy = pl.multiple_of(off_ref[base + 0], ALIGN_Y)
-            ox = pl.multiple_of(off_ref[base + 1], ALIGN_X)
+        def dmas(slot_, bb, tti, ttj, wild_: bool):
+            base = (tti * ntx + ttj) * _REC
+            oy = pl.multiple_of(tab_ref[base + 0], ALIGN_Y)
+            ox = pl.multiple_of(tab_ref[base + 1], ALIGN_X)
+            h_, w_ = (rh1, rw1) if wild_ else (rh, rw)
             return [
                 pltpu.make_async_copy(
-                    src_ref.at[bb, ch, pl.ds(oy, rh), pl.ds(ox, rw)],
-                    s_u8.at[slot_, ch],
+                    src_ref.at[bb, ch, pl.ds(oy, h_), pl.ds(ox, w_)],
+                    s_u8.at[slot_, ch, pl.ds(0, h_), pl.ds(0, w_)],
                     sem.at[slot_, ch],
                 )
                 for ch in range(3)
             ]
 
+        def start_for(slot_, sstep):
+            bb = sstep // tiles
+            rem = jax.lax.rem(sstep, tiles)
+            ni = rem // ntx
+            nj = jax.lax.rem(rem, ntx)
+            is_wild = tab_ref[(ni * ntx + nj) * _REC + 4] >= 0
+            if has_wild:
+                @pl.when(is_wild)
+                def _():
+                    for d in dmas(slot_, bb, ni, nj, True):
+                        d.start()
+
+                @pl.when(~is_wild)
+                def _():
+                    for d in dmas(slot_, bb, ni, nj, False):
+                        d.start()
+            else:
+                for d in dmas(slot_, bb, ni, nj, False):
+                    d.start()
+
         # Double buffering: first step primes its own slot; every step then
         # prefetches the next tile's window into the other slot.
         @pl.when(step == 0)
         def _():
-            for d in dmas(slot, b, ti, tj):
-                d.start()
+            start_for(slot, step)
 
-        nstep = step + 1
-
-        @pl.when(nstep < pl.num_programs(0) * tiles)
+        @pl.when(step + 1 < pl.num_programs(0) * tiles)
         def _():
-            nb = nstep // tiles
-            rem = jax.lax.rem(nstep, tiles)
-            ni = rem // ntx
-            nj = jax.lax.rem(rem, ntx)
-            for d in dmas(1 - slot, nb, ni, nj):
-                d.start()
+            start_for(1 - slot, step + 1)
 
-        for d in dmas(slot, b, ti, tj):
-            d.wait()
+        base = (ti * ntx + tj) * _REC
+        my_wild = tab_ref[base + 4] >= 0
+        shifty = tab_ref[base + 2]
+        shiftx = tab_ref[base + 3]
 
-        base = (ti * ntx + tj) * 4
-        shifty = off_ref[base + 2]
-        shiftx = off_ref[base + 3]
-        yres = yres_ref[0, 0]  # (TH, RW)
-        lxres = lxres_ref[0, 0]  # (TH, TW)
-        planes = []
-        for ch in range(3):
-            s = s_u8[slot, ch].astype(jnp.int32).astype(jnp.float32)  # (RH, RW)
-            s = pltpu.roll(s, shift=shifty, axis=0)
-            # Vertical bilinear as a short static shift-MAC chain.
-            v = jnp.zeros((TH, rw), jnp.float32)
-            for d in range(dy):
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(yres - float(d)))
-                v = v + w * s[d : d + TH, :]
-            # Horizontal.
-            v = pltpu.roll(v, shift=shiftx, axis=1)
-            o = jnp.zeros((TH, TW), jnp.float32)
-            for e in range(dx):
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(lxres - float(e)))
-                o = o + w * v[:, e : e + TW]
-            # cv2.remap writes uint8 before the LAB stage.
-            planes.append(jnp.clip(jnp.round(o), 0.0, 255.0))
+        def resample(src_rows, yres, lxres, dy_, dx_, rw_):
+            """Shared two-pass shift-MAC resample + LAB gamma + writes."""
+            ws_v = [jnp.maximum(0.0, 1.0 - jnp.abs(yres - float(d))) for d in range(dy_)]
+            ws_x = [jnp.maximum(0.0, 1.0 - jnp.abs(lxres - float(e))) for e in range(dx_)]
+            planes = []
+            for ch in range(3):
+                s = src_rows(ch)  # (rh_, rw_) f32, already rolled vertically
+                v = jnp.zeros((TH, rw_), jnp.float32)
+                for d in range(dy_):
+                    v = v + ws_v[d] * s[d : d + TH, :]
+                v = pltpu.roll(v, shift=shiftx, axis=1)
+                o = jnp.zeros((TH, TW), jnp.float32)
+                for e in range(dx_):
+                    o = o + ws_x[e] * v[:, e : e + TW]
+                planes.append(jnp.clip(jnp.round(o), 0.0, 255.0))
+            c0, c1, c2, gray = lab_gamma_gray_f32(planes[0], planes[1], planes[2], gamma)
+            out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
+            out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
+            out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
+            gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
 
-        c0, c1, c2, gray = lab_gamma_gray_f32(planes[0], planes[1], planes[2], gamma)
-        out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
-        out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
-        out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
-        gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
+        def wait_for(slot_, bb, tti, ttj, wild_: bool):
+            # DMA semaphores count bytes: the wait descriptor must match the
+            # exact copy that was issued.
+            for d in dmas(slot_, bb, tti, ttj, wild_):
+                d.wait()
+
+        if has_wild:
+            @pl.when(my_wild)
+            def _():
+                wait_for(slot, b, ti, tj, True)
+
+            @pl.when(~my_wild)
+            def _():
+                wait_for(slot, b, ti, tj, False)
+        else:
+            wait_for(slot, b, ti, tj, False)
+
+        def tame_body():
+            def rows(ch):
+                s = s_u8[slot, ch, 0:rh, 0:rw].astype(jnp.int32).astype(jnp.float32)
+                return pltpu.roll(s, shift=shifty, axis=0)
+
+            resample(rows, yres_ref[0, 0], lxres_ref[0, 0], dy, dx, rw)
+
+        if has_wild:
+            @pl.when(~my_wild)
+            def _():
+                tame_body()
+
+            @pl.when(my_wild)
+            def _():
+                def rows(ch):
+                    s = s_u8[slot, ch, 0:rh1, 0:rw1].astype(jnp.int32).astype(jnp.float32)
+                    return pltpu.roll(s, shift=shifty, axis=0)
+
+                resample(rows, wyres_ref[0], wlxres_ref[0], dy1, dx1, rw1)
+        else:
+            tame_body()
 
     return kernel
 
@@ -522,8 +616,11 @@ class _PlanDims:
     dx: int
     rh: int
     rw: int
+    dy1: int
+    dx1: int
+    rh1: int
+    rw1: int
     nwild: int
-    wild_tiles: tuple = ()  # ((ti, tj), ...) static tile coords
 
 
 class PallasPreprocessor:
@@ -539,51 +636,27 @@ class PallasPreprocessor:
         self.gamma = float(gamma)
         self.interpret = interpret
         p = self.plan
-        self._offsets = jnp.asarray(p.offsets)
+        self._table = jnp.asarray(p.table)
         self._yres = jnp.asarray(p.yres)
         self._lxres = jnp.asarray(p.lxres)
-        self._wild_map = jnp.asarray(p.wild_map)
+        self._wyres = jnp.asarray(p.wild_yres)
+        self._wlxres = jnp.asarray(p.wild_lxres)
         self._dims = _PlanDims(
             width=p.width, height=p.height, pad_x=p.pad_x, pad_y=p.pad_y,
             padded_w=p.padded_w, padded_h=p.padded_h, dy=p.dy, dx=p.dx,
-            rh=p.rh, rw=p.rw, nwild=len(p.wild_yx),
-            wild_tiles=tuple((int(a), int(b)) for a, b in p.wild_yx),
+            rh=p.rh, rw=p.rw, dy1=p.dy1, dx1=p.dx1, rh1=p.rh1, rw1=p.rw1,
+            nwild=len(p.wild_yx),
         )
 
     def __call__(self, frames: jax.Array):
         return _fused_preproc(
-            frames, self._offsets, self._yres, self._lxres, self._wild_map,
+            frames, self._table, self._yres, self._lxres, self._wyres, self._wlxres,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
         )
 
 
-def _bilinear_planar(padded, map_xy):
-    """XLA bilinear gather on a planar (3, Hp, Wp) uint8 image.
-
-    map_xy: (..., 2) f32 padded coords. Returns (..., 3) f32 (unrounded).
-    """
-    hp, wp = padded.shape[-2], padded.shape[-1]
-    x = map_xy[..., 0]
-    y = map_xy[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, wp - 2)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, hp - 2)
-    flat = padded.reshape(3, hp * wp).T.astype(jnp.float32)  # (Hp*Wp, 3)
-    idx00 = y0i * wp + x0i
-    p00 = jnp.take(flat, idx00, axis=0)
-    p01 = jnp.take(flat, idx00 + 1, axis=0)
-    p10 = jnp.take(flat, idx00 + wp, axis=0)
-    p11 = jnp.take(flat, idx00 + wp + 1, axis=0)
-    wxe = wx[..., None]
-    wye = wy[..., None]
-    return (p00 * (1 - wxe) + p01 * wxe) * (1 - wye) + (p10 * (1 - wxe) + p11 * wxe) * wye
-
-
 @functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret"))
-def _fused_preproc(frames, offsets, yres, lxres, wild_map,
+def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
                    *, dims: _PlanDims, gamma: float, interpret: bool):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
@@ -595,43 +668,41 @@ def _fused_preproc(frames, offsets, yres, lxres, wild_map,
     )
     nty, ntx = h // TH, w // TW
     kernel = _make_kernel(dims, gamma)
-    out, gray = pl.pallas_call(
-        kernel,
+    nwild = max(dims.nwild, 1)
+
+    def wild_idx(b, i, j, tab):
+        return (jnp.maximum(tab[(i * ntx + j) * _REC + 4], 0), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bsz, nty, ntx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # flat offset table
-            pl.BlockSpec((1, 1, TH, dims.rw), lambda b, i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TH, TW), lambda b, i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, TH, dims.rw), lambda b, i, j, tab: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, TH, TW), lambda b, i, j, tab: (i, j, 0, 0)),
+            pl.BlockSpec((1, TH, dims.rw1), wild_idx),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, tab: (jnp.maximum(tab[(i * ntx + j) * _REC + 4], 0), 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, TH, TW), lambda b, i, j: (b, 0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j: (b, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, TH, TW), lambda b, i, j, tab: (b, 0, i, j)),
+            pl.BlockSpec((1, TH, TW), lambda b, i, j, tab: (b, i, j)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (2, 3, max(dims.rh, dims.rh1 if dims.nwild else 0),
+                 max(dims.rw, dims.rw1 if dims.nwild else 0)),
+                jnp.uint8,
+            ),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    out, gray = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((bsz, 3, h, w), jnp.uint8),
             jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, dims.rh, dims.rw), jnp.uint8),
-            pltpu.SemaphoreType.DMA((2, 3)),
-        ],
         interpret=interpret,
-    )(offsets, yres, lxres, padded)
-
-    if dims.nwild:
-        # Exact XLA patch for the few wild border tiles; applied as chained
-        # dynamic-update-slices at static offsets (XLA updates in place).
-        def patch_one(padded_b):
-            vals = _bilinear_planar(padded_b, wild_map)  # (nw, TH, TW, 3)
-            rem = jnp.clip(jnp.round(vals), 0.0, 255.0)
-            c0, c1, c2, g = lab_gamma_gray_f32(rem[..., 0], rem[..., 1], rem[..., 2], gamma)
-            rgb = jnp.stack([c0, c1, c2], axis=1).astype(jnp.uint8)  # (nw, 3, TH, TW)
-            return rgb, g.astype(jnp.uint8)  # (nw, TH, TW)
-
-        rgb_patches, gray_patches = jax.vmap(patch_one)(padded)  # (B, nw, 3, TH, TW)
-        for k, (ti, tj) in enumerate(dims.wild_tiles):
-            r0, c0_ = ti * TH, tj * TW
-            out = jax.lax.dynamic_update_slice(out, rgb_patches[:, k], (0, 0, r0, c0_))
-            gray = jax.lax.dynamic_update_slice(gray, gray_patches[:, k], (0, r0, c0_))
+    )(table, yres, lxres, wyres, wlxres, padded)
     return out, gray

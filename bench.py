@@ -9,6 +9,7 @@ preproc+ArUco.  ``vs_baseline`` is throughput / 500.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -31,12 +32,17 @@ def main() -> None:
         size_wh, batch, iters = (1280, 736), 2, 2
 
     w, h = size_wh
-    # Representative UAV 4K intrinsics + 14-coeff rational/thin-prism lens
-    # (same structure as data/cam_params.json; values are not load-bearing
-    # for a throughput benchmark).
-    mtx = np.array([[0.77 * w, 0.0, w / 2], [0.0, 0.77 * w * 16 / 9 * h / w, h / 2], [0.0, 0.0, 1.0]])
-    dist = np.zeros(14)
-    dist[:8] = [0.22, -0.12, 1.1e-4, -2.5e-4, 0.03, 0.6, -0.27, 0.09]
+    # The real reference camera when available (its lens determines the
+    # tame/wild tile split and thus kernel work); otherwise a mild UAV lens.
+    ref = "/root/reference/data/cam_params.json"
+    if os.path.exists(ref):
+        from apse_uav_tpu.core.camera import load_camera_params
+
+        mtx, dist = load_camera_params(ref)
+        mtx = mtx * np.array([[w / 3840, 1, w / 3840], [1, h / 2160, h / 2160], [1, 1, 1.0]])
+    else:
+        mtx = np.array([[0.77 * w, 0.0, w / 2], [0.0, 0.77 * w, h / 2], [0.0, 0.0, 1.0]])
+        dist = np.array([0.11, -0.28, 1.1e-4, -2.5e-4, 0.15])
     cfg = ArucoPipelineConfig(use_pallas_preproc=on_tpu)
     pipe = ArucoPipeline(mtx, dist, size_wh, cfg)
 

@@ -78,5 +78,51 @@ def test_plan_cache_roundtrip(tmp_path, monkeypatch):
     p1 = build_remap_plan(mtx, dist, (w, h))
     p2 = build_remap_plan(mtx, dist, (w, h))  # from cache
     assert p1.dy == p2.dy and p1.dx == p2.dx
-    np.testing.assert_array_equal(p1.offsets, p2.offsets)
+    np.testing.assert_array_equal(p1.table, p2.table)
     np.testing.assert_array_equal(p1.yres, p2.yres)
+
+
+def test_wild_bucket_matches_cv2_chain():
+    """Force tiles into the wild bucket (tiny tame caps) and check parity."""
+    from apse_uav_tpu.preproc import pallas_remap as pr
+
+    h, w = 16 * 6, 256 * 2
+    mtx, dist = _scaled_cam(w, h)
+    plan = pr.build_remap_plan(mtx, dist, (w, h), max_dy=5, max_dx=5, cache=False)
+    assert len(plan.wild_yx) > 0, "test setup: expected wild tiles"
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            128 + 100 * np.sin(xx / 11.0),
+            128 + 90 * np.cos(yy / 7.0),
+            128 + 80 * np.sin((xx + yy) / 19.0),
+        ],
+        -1,
+    ).clip(0, 255).astype(np.uint8)
+    ref, ref_gray = _reference_chain(img, mtx, dist, w, h)
+
+    pre = PallasPreprocessor.__new__(PallasPreprocessor)
+    pre.plan = plan
+    pre.gamma = 2.0
+    pre.interpret = True
+    import jax.numpy as jnp2
+
+    pre._table = jnp2.asarray(plan.table)
+    pre._yres = jnp2.asarray(plan.yres)
+    pre._lxres = jnp2.asarray(plan.lxres)
+    pre._wyres = jnp2.asarray(plan.wild_yres)
+    pre._wlxres = jnp2.asarray(plan.wild_lxres)
+    pre._dims = pr._PlanDims(
+        width=plan.width, height=plan.height, pad_x=plan.pad_x, pad_y=plan.pad_y,
+        padded_w=plan.padded_w, padded_h=plan.padded_h, dy=plan.dy, dx=plan.dx,
+        rh=plan.rh, rw=plan.rw, dy1=plan.dy1, dx1=plan.dx1, rh1=plan.rh1,
+        rw1=plan.rw1, nwild=len(plan.wild_yx),
+    )
+    out, gray = pre(jnp.asarray(img.transpose(2, 0, 1)[None]))
+    out = np.asarray(out)[0].transpose(1, 2, 0).astype(np.int32)
+    gray = np.asarray(gray)[0].astype(np.int32)
+    d = np.abs(out - ref.astype(np.int32))
+    dg = np.abs(gray - ref_gray.astype(np.int32))
+    assert (d > 2).mean() < 0.02, ((d > 2).mean(), d.max())
+    assert (dg > 2).mean() < 0.01, ((dg > 2).mean(), dg.max())
