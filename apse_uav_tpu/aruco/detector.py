@@ -42,9 +42,11 @@ Array = jax.Array
 class DetectorParams:
     """Tuned to mirror the reference's detector configuration."""
 
-    max_candidates: int = 16  # K candidate slots per frame
+    max_candidates: int = 24  # K candidate slots per frame
     max_line_fit_mse: float = 1.5  # aprilTagMaxLineFitMse spirit (px^2)
-    scales: tuple = (10, 14, 20, 28, 40, 56, 80, 112, 160)  # marker side, px
+    # Marker side in px; multiples of proposal_stride so the pooled-grid box
+    # sums are exact (non-multiples get quantized by the pooling).
+    scales: tuple = (8, 12, 16, 20, 28, 40, 56, 80, 112, 160)
     proposal_stride: int = 4
     adaptive_const: float = 7.0  # adaptiveThreshConstant
     score_threshold: float = 0.32  # min dark-square blob score
@@ -66,37 +68,40 @@ def _integral(img: Array) -> Array:
     return jnp.pad(ii, ((1, 0), (1, 0)))
 
 
-def _box_sum(ii: Array, y0: Array, x0: Array, size_y: int, size_x: int) -> Array:
-    """Box sums via 4 strided slices; y0/x0 are *arrays of slice origins*."""
+def _box_sum_unit(ii: Array, ny: int, nx: int, size_y: int, size_x: int) -> Array:
+    """Box sums at ALL unit-stride origins of a (small) integral image.
+
+    Pure unit-stride static slices — strided slicing and fancy indexing both
+    lower to gather-like TPU ops that are orders of magnitude slower."""
     return (
-        ii[y0 + size_y, :][:, x0 + size_x]
-        - ii[y0 + size_y, :][:, x0]
-        - ii[y0, :][:, x0 + size_x]
-        + ii[y0, :][:, x0]
+        ii[size_y : size_y + ny, size_x : size_x + nx]
+        - ii[size_y : size_y + ny, 0:nx]
+        - ii[0:ny, size_x : size_x + nx]
+        + ii[0:ny, 0:nx]
     )
 
 
 def _proposals(gray: Array, p: DetectorParams):
-    """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,)."""
+    """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,).
+
+    TPU layout: the image is first mean-pooled by ``proposal_stride`` (a
+    reshape-reduce), the integral image is built on the SMALL grid, and all
+    box sums are unit-stride static slices — proposal origins land on the
+    same stride grid as before with box extents quantized to the stride
+    (the candidate refinement stages absorb the quantization).
+    """
     h, w = gray.shape
     st = p.proposal_stride
     g = gray.astype(jnp.float32)
-    ii = _integral(g)
-
-    def mean_box(size):
-        # Slice origins keep boxes fully inside the image -> count == size^2.
-        size = int(size)
-        ys = jnp.arange(0, h - size + 1, st)
-        xs = jnp.arange(0, w - size + 1, st)
-        s = _box_sum(ii, ys, xs, size, size)
-        return s / float(size * size), ys, xs
+    h4, w4 = h // st, w // st
+    pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
+    ii = _integral(pool)  # (h4+1, w4+1)
 
     # Dark-fraction maps need a binary image; approximate the adaptive
     # threshold by comparing *box means* directly: for a marker of side s
     # centred in the box, inner mean is much darker than the surrounding
     # ring mean.  This is contrast-normalized below.
-    ny = (h - 0 - 1) // st + 1
-    nx = (w - 0 - 1) // st + 1
+    ny, nx = h4, w4
     scores = []
     metas = []
     for s in p.scales:
@@ -104,16 +109,20 @@ def _proposals(gray: Array, p: DetectorParams):
         ring = int(round(s * 1.8))
         if ring >= min(h, w):
             continue
-        inner_m, ys_i, xs_i = mean_box(s)
-        ring_m, ys_r, xs_r = mean_box(ring)
+        sc_ = max(s // st, 1)  # coarse box side
+        ring_c_sz = max(int(round(ring / st)), sc_ + 1)
+        n_y_i, n_x_i = h4 - sc_ + 1, w4 - sc_ + 1
+        n_y_r, n_x_r = h4 - ring_c_sz + 1, w4 - ring_c_sz + 1
+        inner_m = _box_sum_unit(ii, n_y_i, n_x_i, sc_, sc_) / float(sc_ * sc_)
+        ring_m = _box_sum_unit(ii, n_y_r, n_x_r, ring_c_sz, ring_c_sz) / float(ring_c_sz * ring_c_sz)
         # Align: inner box centred inside ring box -> offset (ring-s)//2.
-        off = (ring - s) // 2 // st
-        n_y = min(inner_m.shape[0] - 2 * off if off else inner_m.shape[0], ring_m.shape[0])
-        n_x = min(inner_m.shape[1] - 2 * off if off else inner_m.shape[1], ring_m.shape[1])
+        off = (ring_c_sz - sc_) // 2
+        n_y = min(n_y_i - 2 * off if off else n_y_i, n_y_r)
+        n_x = min(n_x_i - 2 * off if off else n_x_i, n_x_r)
         inner_c = inner_m[off : off + n_y, off : off + n_x]
         ring_c = ring_m[:n_y, :n_x]
-        ring_area = float(ring * ring)
-        inner_area = float(s * s)
+        ring_area = float(ring_c_sz * ring_c_sz)
+        inner_area = float(sc_ * sc_)
         outer_mean = (ring_c * ring_area - inner_c * inner_area) / (ring_area - inner_area)
         contrast = jnp.maximum(outer_mean - inner_c, 0.0)
         # Score: dark inner vs bright surround, contrast-gated.
@@ -122,20 +131,39 @@ def _proposals(gray: Array, p: DetectorParams):
         sc_full = jnp.zeros((ny, nx), jnp.float32)
         sc_full = jax.lax.dynamic_update_slice(sc_full, sc, (0, 0))
         scores.append(sc_full)
-        metas.append((s, off * st + 0))
+        metas.append((sc_ * st, off * st))
     stack = jnp.stack(scores)  # (S, ny, nx)
 
-    # Local maxima over space and scale (3x3x3 neighborhood).
-    def maxpool3(a):
-        a_p = jnp.pad(a, ((1, 1), (1, 1), (1, 1)), constant_values=-jnp.inf)
-        out = a
-        for dz in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    out = jnp.maximum(out, a_p[1 + dz : 1 + dz + a.shape[0], 1 + dy : 1 + dy + a.shape[1], 1 + dx : 1 + dx + a.shape[2]])
-        return out
+    # Scale-proportional non-max suppression: dilate each scale's score map
+    # by ~half its marker size (separable 3x3 passes), then keep positions
+    # that win against every scale's dilated map — one candidate per marker,
+    # at its best-responding scale (sub-pattern responses at smaller scales
+    # are suppressed by the larger winner instead of flooding the top-K).
+    def max3(a, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 1)
+        a_p = jnp.pad(a, pad, constant_values=-jnp.inf)
+        n = a.shape[axis]
+        sl = lambda d: tuple(
+            slice(1 + d, 1 + d + n) if ax == axis else slice(None) for ax in range(2)
+        )
+        return jnp.maximum(jnp.maximum(a_p[sl(-1)], a_p[sl(0)]), a_p[sl(1)])
 
-    is_max = (stack >= maxpool3(stack)) & (stack > p.score_threshold)
+    dilated = []
+    for si, (size_px, _) in enumerate(metas):
+        a = stack[si]
+        for _ in range(max(int(size_px) // st // 2, 1)):
+            a = max3(max3(a, 0), 1)
+        dilated.append(a)
+    # Adjacent-scale suppression only: a genuine marker responding best at a
+    # far-away scale (sub-pattern vs whole marker) keeps both candidates and
+    # the post-decode dedup picks the real quad.
+    ns = len(dilated)
+    cross = [
+        jnp.max(jnp.stack(dilated[max(si - 1, 0) : min(si + 2, ns)]), axis=0)
+        for si in range(ns)
+    ]
+    is_max = (stack >= jnp.stack(cross)) & (stack > p.score_threshold)
     flat = jnp.where(is_max, stack, 0.0).reshape(-1)
     vals, idx = jax.lax.top_k(flat, p.max_candidates)
     si = idx // (ny * nx)
@@ -157,7 +185,8 @@ def _proposals(gray: Array, p: DetectorParams):
 
 
 def _bilinear(gray: Array, yx: Array) -> Array:
-    """Bilinear sample gray at (..., 2) float yx coords (clamped)."""
+    """Gather-based bilinear sampling (host-friendly; avoid on the 4K image
+    inside hot paths — see :func:`_sample_img` for the TPU-native form)."""
     h, w = gray.shape
     y = jnp.clip(yx[..., 0], 0.0, h - 1.001)
     x = jnp.clip(yx[..., 1], 0.0, w - 1.001)
@@ -176,19 +205,75 @@ def _bilinear(gray: Array, yx: Array) -> Array:
     return (p00 * (1 - wx) + p01 * wx) * (1 - wy) + (p10 * (1 - wx) + p11 * wx) * wy
 
 
-def _extract_window(gray: Array, center_yx: Array, size: Array, win: int):
+def _patch_size(h: int, w: int) -> int:
+    """Per-candidate patch side: 384 covers 2.4x the largest marker scale."""
+    return min(384, (min(h, w) // 128) * 128) or min(h, w)
+
+
+def _extract_patch(gray: Array, center_yx: Array, psize: int):
+    """Fixed-size patch around a candidate via ONE dynamic_slice.
+
+    All subsequent sampling (window resample, edge refinement, bit decode)
+    happens inside this VMEM-sized patch with interpolation matmuls —
+    per-pixel gathers from the HBM-resident 4K frame are the single most
+    expensive operation on TPU and are avoided entirely.
+    Returns (patch (psize, psize) f32, origin (2,) f32).
+    """
+    h, w = gray.shape
+    oy = jnp.clip(jnp.round(center_yx[0]) - psize // 2, 0, h - psize).astype(jnp.int32)
+    ox = jnp.clip(jnp.round(center_yx[1]) - psize // 2, 0, w - psize).astype(jnp.int32)
+    patch = jax.lax.dynamic_slice(gray, (oy, ox), (psize, psize))
+    return patch, jnp.stack([oy, ox]).astype(jnp.float32)
+
+
+def _sample_img(img: Array, yx: Array) -> Array:
+    """Bilinear sampling as two interpolation matmuls (gather-free).
+
+    img (H, W); yx (..., 2) coords in img space.  Each point's row/column
+    interpolation weights are dense hat functions (two nonzeros), so the
+    sample is  sum_c (W_y @ img)[p, c] * W_x[p, c]  — MXU work instead of
+    scattered memory access.
+    """
+    h, w = img.shape
+    shape = yx.shape[:-1]
+    pts = yx.reshape(-1, 2)
+    y = jnp.clip(pts[:, 0], 0.0, h - 1.001)
+    x = jnp.clip(pts[:, 1], 0.0, w - 1.001)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - jnp.arange(h, dtype=jnp.float32)[None, :]))
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - jnp.arange(w, dtype=jnp.float32)[None, :]))
+    rows = jax.lax.dot_general(
+        wy, img, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (P, W)
+    vals = jnp.sum(rows * wx, axis=-1)
+    return vals.reshape(shape)
+
+
+def _extract_window(patch: Array, center_rel: Array, size: Array, win: int):
     """Resample a win x win window covering 2.4*size around the centre.
 
-    Returns (window (win, win) f32, scale px-per-window-px, origin yx)."""
-    span = 2.4 * size
+    Separable: window = W_y @ patch @ W_x^T with per-axis hat-function
+    interpolation matrices — regular-grid resampling as two matmuls.
+    center_rel is in patch coords.  Returns (window (win, win) f32, scale
+    px-per-window-px, origin yx in patch coords).
+    """
+    psize = patch.shape[0]
+    span = jnp.minimum(2.4 * size, float(psize))
     scale = span / win
     r = jnp.arange(win, dtype=jnp.float32)
-    oy = center_yx[0] - span / 2.0
-    ox = center_yx[1] - span / 2.0
-    yy = oy + (r[:, None] + 0.5) * scale
-    xx = ox + (r[None, :] + 0.5) * scale
-    yx = jnp.stack([jnp.broadcast_to(yy, (win, win)), jnp.broadcast_to(xx, (win, win))], axis=-1)
-    return _bilinear(gray, yx), scale, jnp.stack([oy, ox])
+    oy = center_rel[0] - span / 2.0
+    ox = center_rel[1] - span / 2.0
+    ys = jnp.clip(oy + (r + 0.5) * scale, 0.0, psize - 1.001)
+    xs = jnp.clip(ox + (r + 0.5) * scale, 0.0, psize - 1.001)
+    grid = jnp.arange(psize, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys[:, None] - grid[None, :]))  # (win, P)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs[:, None] - grid[None, :]))
+    win_img = jax.lax.dot_general(
+        jax.lax.dot_general(wy, patch, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32),
+        wx,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return win_img, scale, jnp.stack([oy, ox])
 
 
 def _binarize(winimg: Array):
@@ -330,7 +415,7 @@ def _refine_edges(
         nvec = jnp.stack([-d[1], d[0]]) / norm  # perpendicular (yx)
         step = jnp.maximum(spacing * 0.6, 0.35) * step_scale
         samp = pts[:, None, :] + nvec[None, None, :] * (taps[None, :, None] * step)
-        vals = _bilinear(gray, samp)  # (P, 7)
+        vals = _sample_img(gray, samp)  # (P, n_taps)
         grad = vals[:, 1:] - vals[:, :-1]  # (P, 6) directional derivative
         gmag = jnp.abs(grad)
         pos = (taps[:-1] + 0.5)  # tap midpoints
@@ -431,7 +516,7 @@ def _sample_cells(gray: Array, corners_yx: Array, samples_per_cell: int = 3):
     ones = jnp.ones_like(uu)
     p = jnp.stack([uu, vv, ones], axis=-1) @ h_mat.T
     xy_img = p[..., :2] / p[..., 2:3]
-    vals = _bilinear(gray, jnp.stack([xy_img[..., 1], xy_img[..., 0]], axis=-1))
+    vals = _sample_img(gray, jnp.stack([xy_img[..., 1], xy_img[..., 0]], axis=-1))
     # (6, spc, 6, spc) -> cell means
     vals = vals.reshape(6, samples_per_cell, 6, samples_per_cell)
     return vals.mean(axis=(1, 3))  # (6, 6) row-major (v=row, u=col)
@@ -489,13 +574,18 @@ class ArucoDetector:
         g = gray.astype(jnp.float32)
         centers, sizes, scores, valid = _proposals(g, p)
 
+        psize = _patch_size(*g.shape)
+
         def one_candidate(center, size, ok):
-            win, scale, origin = _extract_window(g, center, size, p.window)
+            # ONE dynamic_slice per candidate; every later sampling step is
+            # gather-free math inside this patch.
+            patch, p_origin = _extract_patch(g, center, psize)
+            center_rel = center - p_origin
+            win, scale, origin = _extract_window(patch, center_rel, size, p.window)
             dark, lo, hi = _binarize(win)
             contrast_ok = (hi - lo) >= p.min_white_black_diff
             dark = _largest_component(dark, p.window)
             coarse, quad_ok = _coarse_corners(dark, win, p.window)
-            coarse_img = origin[None, :] + (coarse + 0.5) * scale
             # Pass 1: refine in *window space*, where the coarse radial error
             # is a few pixels and the marker border is ~4.4 px wide: 11 taps
             # at 0.62 px reach +-3.4 px without crossing both border edges.
@@ -505,14 +595,15 @@ class ArucoDetector:
             )
             drift0 = jnp.max(jnp.linalg.norm(rough_w - coarse_w, axis=-1))
             rough_w = jnp.where(drift0 < 6.0, rough_w, coarse_w)
-            rough = origin[None, :] + (rough_w + 0.5) * scale
-            # Pass 2: subpixel pass at native image resolution.
-            refined, mse = _refine_edges(g, rough, p.edge_points, scale, step_scale=0.8)
+            rough = origin[None, :] + (rough_w + 0.5) * scale  # patch coords
+            # Pass 2: subpixel pass at native resolution, inside the patch.
+            refined, mse = _refine_edges(patch, rough, p.edge_points, scale, step_scale=0.8)
             drift = jnp.max(jnp.linalg.norm(refined - rough, axis=-1))
             good_refine = drift < 6.0
             corners = jnp.where(good_refine, refined, rough)
             mse_ok = (mse < p.max_line_fit_mse) & good_refine
-            marker_id, rot, bits_ok, ham = _decode_candidate(g, corners, p)
+            marker_id, rot, bits_ok, ham = _decode_candidate(patch, corners, p)
+            corners = corners + p_origin[None, :]  # back to image coords
             is_valid = ok & quad_ok & contrast_ok & bits_ok & mse_ok & (marker_id >= 0)
             # Canonicalize corner order per dictionary rotation: OpenCV
             # returns corners starting at the canonical top-left, clockwise.

@@ -83,12 +83,13 @@ def _init_pose_planar(obj_xy: Array, xy_norm: Array):
     r1 = r1 * lam
     r2 = r2 * lam
     t = h_mat[:, 2] * lam
-    r3 = jnp.cross(r1, r2)
-    r_approx = jnp.stack([r1, r2, r3], axis=1)
-    # Orthonormalize (polar decomposition via SVD).
-    u, _, vt = jnp.linalg.svd(r_approx)
-    r_mat = u @ vt
-    r_mat = r_mat * jnp.sign(jnp.linalg.det(r_mat))
+    # Orthonormalize by Gram-Schmidt — the Gauss-Newton refinement corrects
+    # any residual init error, and this avoids a tiny-SVD (latency-bound on
+    # TPU, where small-matrix iterative linalg dominates the whole solver).
+    q1 = r1 / jnp.maximum(jnp.linalg.norm(r1), 1e-12)
+    r2o = r2 - jnp.dot(q1, r2) * q1
+    q2 = r2o / jnp.maximum(jnp.linalg.norm(r2o), 1e-12)
+    r_mat = jnp.stack([q1, q2, jnp.cross(q1, q2)], axis=1)
     # The camera must look at the front of the plane: t_z > 0.
     flip = t[2] < 0
     t = jnp.where(flip, -t, t)
@@ -104,7 +105,7 @@ def solve_pnp_planar(
     img_pts: Array,
     mtx: Array,
     dist: Array,
-    num_iters: int = 15,
+    num_iters: int = 6,
 ):
     """Solve planar PnP for one marker.  obj_pts (4,3), img_pts (4,2) pixels.
 
@@ -140,7 +141,7 @@ def estimate_pose_single_markers(
     marker_length,
     mtx: Array,
     dist: Array,
-    num_iters: int = 15,
+    num_iters: int = 6,
 ):
     """cv2.aruco.estimatePoseSingleMarkers equivalent, batched.
 
