@@ -51,7 +51,10 @@ class ROIConfig:
     detections_per_image: int = 100
     box_pooler_resolution: int = 7
     mask_pooler_resolution: int = 14
-    pooler_sampling_ratio: int = 2
+    # detectron2 uses adaptive sampling (ceil of bin size): with FPN level
+    # assignment bins are ~1-2 px, so ratio 1 is the closest static choice
+    # and costs 4x less gather traffic than 2.
+    pooler_sampling_ratio: int = 1
     box_fc_dim: int = 1024
     num_box_fc: int = 2
     mask_conv_dim: int = 256

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from apse_uav_tpu.dcnn.config import ROIConfig
 from apse_uav_tpu.dcnn.ops import apply_deltas, box_iou, clip_boxes, get_deltas
 from apse_uav_tpu.dcnn.ops.nms import batched_nms
-from apse_uav_tpu.dcnn.ops.roi_align import roi_align
+from apse_uav_tpu.dcnn.ops.roi_align import roi_align_hwc
 from apse_uav_tpu.dcnn.models.rpn import smooth_l1, subsample_labels
 
 Array = jax.Array
@@ -52,10 +52,13 @@ def fpn_roi_align(
     lvl = assign_boxes_to_levels(boxes)
     pooled = []
     for i, name in enumerate(POOL_LEVELS):
-        feat = jnp.transpose(feats[name], (2, 0, 1))  # (C, H, W)
         scale = 1.0 / (4 * 2**i)
+        # bf16 gathers halve the dominant memory traffic; the interpolation
+        # arithmetic stays f32 via preferred accumulation in the head.
         pooled.append(
-            roi_align(feat, boxes, resolution, scale, sampling_ratio, aligned=True)
+            roi_align_hwc(
+                feats[name].astype(jnp.bfloat16), boxes, resolution, scale, sampling_ratio, aligned=True
+            ).astype(jnp.float32)
         )
     stacked = jnp.stack(pooled, axis=0)  # (4, N, C, R, R)
     return jnp.take_along_axis(stacked, lvl[None, :, None, None, None], axis=0)[0]

@@ -23,13 +23,17 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _bilinear_gather(feat: Array, ys: Array, xs: Array) -> Array:
-    """feat (C, H, W); ys/xs (S,) sample coords -> (C, S).
+def _bilinear_gather_hwc(feat_hwc: Array, ys: Array, xs: Array) -> Array:
+    """feat (H, W, C); ys/xs (S,) sample coords -> (S, C).
+
+    Channels-last row gathers: each sampled index fetches one CONTIGUOUS
+    C-vector — the channels-first layout would stride across the whole map
+    per channel and is an order of magnitude slower on TPU.
 
     torchvision border behavior: samples with y or x in [-1, H/W] are clamped
     to the border; samples outside that band return 0.
     """
-    c, h, w = feat.shape
+    h, w, c = feat_hwc.shape
     out_of_range = (ys < -1.0) | (ys > h * 1.0) | (xs < -1.0) | (xs > w * 1.0)
     y = jnp.clip(ys, 0.0, h - 1.0)
     x = jnp.clip(xs, 0.0, w - 1.0)
@@ -43,38 +47,39 @@ def _bilinear_gather(feat: Array, ys: Array, xs: Array) -> Array:
     x0i = x0.astype(jnp.int32)
     y1i = y1.astype(jnp.int32)
     x1i = x1.astype(jnp.int32)
-    flat = feat.reshape(c, h * w)
-    p00 = jnp.take(flat, y0i * w + x0i, axis=1)
-    p01 = jnp.take(flat, y0i * w + x1i, axis=1)
-    p10 = jnp.take(flat, y1i * w + x0i, axis=1)
-    p11 = jnp.take(flat, y1i * w + x1i, axis=1)
+    flat = feat_hwc.reshape(h * w, c)
+    p00 = jnp.take(flat, y0i * w + x0i, axis=0)
+    p01 = jnp.take(flat, y0i * w + x1i, axis=0)
+    p10 = jnp.take(flat, y1i * w + x0i, axis=0)
+    p11 = jnp.take(flat, y1i * w + x1i, axis=0)
     val = (
-        p00 * ((1 - ly) * (1 - lx))
-        + p01 * ((1 - ly) * lx)
-        + p10 * (ly * (1 - lx))
-        + p11 * (ly * lx)
+        p00 * ((1 - ly) * (1 - lx))[:, None]
+        + p01 * ((1 - ly) * lx)[:, None]
+        + p10 * (ly * (1 - lx))[:, None]
+        + p11 * (ly * lx)[:, None]
     )
-    return jnp.where(out_of_range[None, :], 0.0, val)
+    return jnp.where(out_of_range[:, None], 0.0, val)
 
 
 @functools.partial(
     jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned")
 )
-def roi_align(
-    feat: Array,
+def roi_align_hwc(
+    feat_hwc: Array,
     boxes: Array,
     output_size: int | tuple[int, int],
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
     aligned: bool = False,
 ) -> Array:
-    """feat (C, H, W), boxes (N, 4) xyxy in image coords -> (N, C, oh, ow)."""
+    """feat (H, W, C), boxes (N, 4) xyxy in image coords -> (N, C, oh, ow)."""
     if isinstance(output_size, int):
         oh = ow = output_size
     else:
         oh, ow = output_size
     s = max(int(sampling_ratio), 1)
     offset = 0.5 if aligned else 0.0
+    c = feat_hwc.shape[-1]
 
     def one(box):
         x1 = box[0] * spatial_scale - offset
@@ -96,11 +101,30 @@ def roi_align(
         xs = (x1 + ix * bin_w).reshape(-1)  # (ow*s,)
         yy = jnp.repeat(ys, ow * s)  # (oh*s*ow*s,)
         xx = jnp.tile(xs, oh * s)
-        vals = _bilinear_gather(feat, yy, xx)  # (C, oh*s*ow*s)
-        vals = vals.reshape(feat.shape[0], oh, s, ow, s)
-        return vals.mean(axis=(2, 4))  # (C, oh, ow)
+        vals = _bilinear_gather_hwc(feat_hwc, yy, xx)  # (S, C)
+        vals = vals.reshape(oh, s, ow, s, c).mean(axis=(1, 3))  # (oh, ow, C)
+        return jnp.transpose(vals, (2, 0, 1))  # (C, oh, ow)
 
     return jax.vmap(one)(boxes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "aligned")
+)
+def roi_align(
+    feat: Array,
+    boxes: Array,
+    output_size: int | tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 2,
+    aligned: bool = False,
+) -> Array:
+    """feat (C, H, W), boxes (N, 4) xyxy in image coords -> (N, C, oh, ow).
+
+    torchvision-layout wrapper over :func:`roi_align_hwc` (one transpose)."""
+    return roi_align_hwc(
+        jnp.transpose(feat, (1, 2, 0)), boxes, output_size, spatial_scale, sampling_ratio, aligned
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale"))

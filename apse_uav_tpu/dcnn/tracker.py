@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from apse_uav_tpu.dcnn.config import TrackerConfig
 from apse_uav_tpu.dcnn.hungarian import linear_sum_assignment, pad_cost
 from apse_uav_tpu.dcnn.models.association import AssociationHead
-from apse_uav_tpu.dcnn.ops.roi_align import roi_align
+from apse_uav_tpu.dcnn.ops.roi_align import roi_align_hwc
 from apse_uav_tpu.dcnn import structures
 
 Array = jax.Array
@@ -68,19 +68,18 @@ def detection_embeddings(
     feats_p2: (H4, W4, C) p2 feature map of this image.
     """
     h4, w4, c = feats_p2.shape
-    feat = jnp.transpose(feats_p2, (2, 0, 1))  # (C, H4, W4)
     spatial_scale = w4 / image_hw[1]
     if crop_features:
         # Mask-crop: paste detection masks at p2 resolution, multiply.
         masks_p2 = jax.vmap(
             lambda m, b: paste_mask_lowres(m, b, (h4, w4), image_hw)
         )(det["masks"], det["boxes"])  # (D, H4, W4)
-        cropped = feat[None] * masks_p2[:, None]  # (D, C, H4, W4)
+        cropped = feats_p2[None] * masks_p2[..., None]  # (D, H4, W4, C)
         rois = jax.vmap(
-            lambda f, b: roi_align(f, b[None], roi_size, spatial_scale, 4, False)[0]
+            lambda f, b: roi_align_hwc(f, b[None], roi_size, spatial_scale, 4, False)[0]
         )(cropped, det["boxes"])  # (D, C, R, R)
     else:
-        rois = roi_align(feat, det["boxes"], roi_size, spatial_scale, 4, False)
+        rois = roi_align_hwc(feats_p2, det["boxes"], roi_size, spatial_scale, 4, False)
     head = AssociationHead(embedding_dim=embedding_dim)
     return head.apply({"params": assoc_params}, rois)
 
