@@ -132,35 +132,45 @@ class SelectivePredictor:
     The reference's SelectiveMaskRCNN.scan instruments backbone / RPN / ROI
     stages with perf_counter+synchronize brackets (selective_rcnn.py:46-76)
     and SelectiveRPN keeps only the last FPN level's proposals
-    (selective_rpn.py:47-48).  Here each stage is a separate jitted function
-    timed with ``block_until_ready``.
+    (selective_rpn.py:47-48).  Here the full scan runs with
+    ``rpn_levels=("p6",)`` and each stage is a separate jitted function
+    timed with device-synchronized wall clock.
     """
 
-    def __init__(self, cfg: ModelConfig, params, orig_hw: tuple[int, int]):
-        import dataclasses
-
+    def __init__(self, cfg: ModelConfig, params, orig_hw: tuple[int, int], rpn_levels: tuple[str, ...] = ("p6",)):
         self.base = TrackPredictor(cfg, params, orig_hw)
         self.cfg = cfg
         self.params = params
+        self.rpn_levels = tuple(rpn_levels)
         self.timings: dict[str, float] = {}
-
         model = self.base.model
+        self._backbone = jax.jit(
+            lambda p, x: model.apply({"params": p}, x, mode="backbone")
+        )
+        self._scan = jax.jit(
+            lambda p, x: model.apply(
+                {"params": p}, x, method=lambda m, im: m.inference(im, rpn_levels=self.rpn_levels)
+            )
+        )
 
-        def backbone_fn(params, x):
-            return model.apply({"params": params}, x, mode="backbone")
-
-        self._backbone = jax.jit(backbone_fn)
-
-    def __call__(self, frames_u8):
+    def _prep(self, frames_u8):
         x = jnp.asarray(frames_u8).astype(jnp.float32)
         nh, nw = self.base.net_hw
         x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
         ph, pw = self.base.pad_hw
-        x = jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+        return jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+
+    def __call__(self, frames_u8):
+        """Run the partial-proposal scan; per-stage timings in ``timings``."""
+        x = self._prep(frames_u8)
         t0 = time.perf_counter()
         feats = jax.block_until_ready(self._backbone(self.params, x))
         self.timings["backbone"] = time.perf_counter() - t0
         t0 = time.perf_counter()
-        dets, _ = jax.block_until_ready(self.base._infer(self.params, jnp.asarray(frames_u8)))
-        self.timings["full_pipeline"] = time.perf_counter() - t0
+        dets, _ = jax.block_until_ready(self._scan(self.params, x))
+        self.timings["selective_scan"] = time.perf_counter() - t0
+        # Rescale boxes to the original resolution like TrackPredictor.
+        sy = self.base.orig_hw[0] / self.base.net_hw[0]
+        sx = self.base.orig_hw[1] / self.base.net_hw[1]
+        dets = {**dets, "boxes": dets["boxes"] * jnp.asarray([sx, sy, sx, sy])}
         return dets

@@ -88,12 +88,15 @@ class MaskRCNN(nn.Module):
             return self.losses(images, gt, rng, gt_proposals=True)
         raise ValueError(mode)
 
-    def inference(self, images: Array) -> tuple[dict[str, Array], dict[str, Array]]:
+    def inference(self, images: Array, rpn_levels: tuple[str, ...] | None = None) -> tuple[dict[str, Array], dict[str, Array]]:
         """images (B, H, W, 3) -> (detections, backbone features).
 
         detections: boxes (B, D, 4), scores (B, D), classes (B, D),
         valid (B, D), and (if mask_on) masks (B, D, 2R, 2R) probabilities
         (paste to full image with roi_heads.paste_masks).
+
+        ``rpn_levels`` restricts proposal generation (SelectiveMaskRCNN.scan
+        uses only the coarsest level — selective_rcnn.py:27-84).
         """
         cfg = self.cfg
         feats = self.backbone(self._normalize(images))
@@ -104,7 +107,8 @@ class MaskRCNN(nn.Module):
 
         def per_image(logits_i, deltas_i, feats_i):
             boxes, scores, valid = select_proposals(
-                logits_i, deltas_i, level_shapes, image_hw, cfg.anchors, cfg.rpn, training=False
+                logits_i, deltas_i, level_shapes, image_hw, cfg.anchors, cfg.rpn,
+                training=False, levels=rpn_levels,
             )
             pooled = fpn_roi_align(
                 feats_i, boxes, cfg.roi.box_pooler_resolution, cfg.roi.pooler_sampling_ratio

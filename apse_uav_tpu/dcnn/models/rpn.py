@@ -93,23 +93,31 @@ def select_proposals(
     anchor_cfg: AnchorConfig,
     rpn_cfg: RPNConfig,
     training: bool = False,
+    levels: tuple[str, ...] | None = None,
 ) -> tuple[Array, Array, Array]:
     """Fixed-shape find_top_rpn_proposals for ONE image.
 
     logits[level] (N_l,), deltas[level] (N_l, 4).  Returns
     (boxes (P, 4), scores (P,), valid (P,)) with
     P = post_nms_topk, ordered by descending score.
+
+    ``levels`` restricts proposal generation to a subset of FPN levels while
+    anchors stay consistent with the full pyramid — SelectiveRPN's
+    gen_partial_proposals keeps ONLY the coarsest level (reference:
+    dcnn/networks/selective_rpn.py:47-48).
     """
     pre_k = rpn_cfg.pre_nms_topk_train if training else rpn_cfg.pre_nms_topk_test
     post_k = rpn_cfg.post_nms_topk_train if training else rpn_cfg.post_nms_topk_test
 
-    level_names = sorted(logits.keys())
+    all_names = sorted(logits.keys())
+    level_names = [n for n in all_names if levels is None or n in levels]
+    level_index = {n: i for i, n in enumerate(all_names)}
     all_boxes, all_scores = [], []
-    for li, name in enumerate(level_names):
+    for name in level_names:
         anchors = grid_anchors(
             tuple(level_shapes[name]),
             LEVEL_STRIDES[name],
-            anchor_cfg.sizes[li],
+            anchor_cfg.sizes[level_index[name]],
             tuple(anchor_cfg.aspect_ratios),
             anchor_cfg.offset,
         )

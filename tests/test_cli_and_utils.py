@@ -21,6 +21,8 @@ CLI_MODULES = [
     "apse_uav_tpu.cli.finetune_coco_dataset",
     "apse_uav_tpu.cli.train_association_head",
     "apse_uav_tpu.cli.detector_test",
+    "apse_uav_tpu.cli.association_head_test",
+    "apse_uav_tpu.cli.add_mask_head",
 ]
 
 

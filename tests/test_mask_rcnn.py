@@ -99,3 +99,16 @@ def test_losses_differentiable(model_and_params):
         lambda a, x: a + jnp.sum(jnp.abs(x)), grads, jnp.float32(0)
     )
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
+
+
+def test_selective_rpn_levels(model_and_params, tiny_cfg):
+    """SelectiveRPN semantics: proposals from the coarsest level only."""
+    model, params = model_and_params
+    images = jnp.full((1, 64, 64, 3), 127.0)
+    dets, _ = model.apply(
+        {"params": params}, images,
+        method=lambda m, im: m.inference(im, rpn_levels=("p6",)),
+    )
+    d = tiny_cfg.roi.detections_per_image
+    assert dets["boxes"].shape == (1, d, 4)
+    assert np.isfinite(np.asarray(dets["boxes"])).all()
