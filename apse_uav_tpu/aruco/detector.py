@@ -42,14 +42,14 @@ Array = jax.Array
 class DetectorParams:
     """Tuned to mirror the reference's detector configuration."""
 
-    max_candidates: int = 24  # K candidate slots per frame
+    max_candidates: int = 32  # K candidate slots per frame
     max_line_fit_mse: float = 1.5  # aprilTagMaxLineFitMse spirit (px^2)
     # Marker side in px; multiples of proposal_stride so the pooled-grid box
     # sums are exact (non-multiples get quantized by the pooling).
     scales: tuple = (8, 12, 16, 20, 28, 40, 56, 80, 112, 160)
     proposal_stride: int = 4
     adaptive_const: float = 7.0  # adaptiveThreshConstant
-    score_threshold: float = 0.32  # min dark-square blob score
+    score_threshold: float = 0.20  # min dark-square blob score (rotated markers score low in axis-aligned boxes)
     min_white_black_diff: float = 30.0  # contrast gate (apriltagMinWhiteBlackDiff spirit)
     window: int = 64  # resampled candidate window size
     edge_points: int = 24  # samples per edge for line fitting

@@ -62,13 +62,22 @@ class TrackPredictor:
         ph, pw = self.pad_hw
         x = jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
         dets, feats = self.model.apply({"params": params}, x, mode="inference")
-        # Rescale boxes to original resolution (d2 detector_postprocess).
+        # Rescale boxes to original resolution (d2 detector_postprocess);
+        # the model clipped to the PADDED extent, so re-clip to the image.
         sy = self.orig_hw[0] / nh
         sx = self.orig_hw[1] / nw
-        dets = {
-            **dets,
-            "boxes": dets["boxes"] * jnp.asarray([sx, sy, sx, sy]),
-        }
+        boxes = dets["boxes"] * jnp.asarray([sx, sy, sx, sy])
+        oh, ow = self.orig_hw
+        boxes = jnp.stack(
+            [
+                jnp.clip(boxes[..., 0], 0, ow),
+                jnp.clip(boxes[..., 1], 0, oh),
+                jnp.clip(boxes[..., 2], 0, ow),
+                jnp.clip(boxes[..., 3], 0, oh),
+            ],
+            axis=-1,
+        )
+        dets = {**dets, "boxes": boxes}
         return dets, feats
 
     def __call__(self, frames_u8) -> tuple[dict[str, Array], dict[str, Array]]:
