@@ -88,6 +88,42 @@ def _frame_reader(args):
         video.release()
 
 
+def _save_annotated(out_dir: str, k: int, frame: np.ndarray, row: dict) -> None:
+    """Draw detections + measurements onto the frame (reference
+    printDataOnImage :310-333 / drawLinesOnImage :494-514 in spirit)."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    img = frame.copy()
+    font = cv2.FONT_HERSHEY_SIMPLEX
+    corners = row["corners"]  # (4 slots, 4, 2) xy
+    detected = row["detected"]
+    centers = []
+    for v in range(4):
+        if not detected[v]:
+            centers.append(None)
+            continue
+        quad = corners[v].astype(np.int32)
+        cv2.polylines(img, [quad.reshape(-1, 1, 2)], True, (0, 255, 0), 2)
+        c = quad.mean(axis=0).astype(int)
+        centers.append(c)
+        cv2.putText(img, f"id {v + 1}", tuple(c + np.array([6, -6])), font, 0.9, (0, 255, 255), 2)
+    host = centers[3]
+    if host is not None:
+        for v in range(3):
+            if centers[v] is None:
+                continue
+            cv2.line(img, tuple(host), tuple(centers[v]), (255, 128, 0), 2)
+            mid = ((host + centers[v]) // 2).astype(int)
+            cv2.putText(img, f"{row['dist_aruco'][v]:.2f} m", tuple(mid), font, 0.9, (255, 128, 0), 2)
+        cv2.putText(
+            img,
+            f"alt {row['altitude']:.1f} m  L {row['marker_length']:.3f}  LEDs {int(row['leds'])}",
+            (20, 40), font, 1.0, (255, 255, 255), 2,
+        )
+    cv2.imwrite(os.path.join(out_dir, f"image_{k:04d}.png"), img)
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not args.use_images and not args.use_video:
@@ -141,6 +177,11 @@ def main(argv=None) -> int:
         for i, k in enumerate(batch_ks):
             if writer is not None:
                 writer.write_frame(k, {key: out[key][i] for key in out})
+            if args.save_images and args.path_output_images:
+                _save_annotated(
+                    args.path_output_images, k, batch_frames[i],
+                    {key: out[key][i] for key in out},
+                )
         n_frames += len(batch_ks)
         batch_ks.clear()
         batch_frames.clear()

@@ -98,11 +98,15 @@ class RcnnTracker:
         params,
         assoc_params,
         orig_hw: tuple[int, int],
+        display_info: tuple[str, ...] = (),
     ):
         self.predictor = TrackPredictor(model_cfg, params, orig_hw)
         self.cfg = tracker_cfg
         self.assoc_params = assoc_params
         self.orig_hw = tuple(orig_hw)
+        # Named debug-trace categories (reference DISPLAY_INFO,
+        # rcnn_tracker.py:41-43): 'frame_count', 'detections', 'objects'.
+        self.display_info = tuple(display_info)
         self.state = structures.init_track_state(
             tracker_cfg.max_tracks, tracker_cfg.embedding_dim
         )
@@ -127,7 +131,31 @@ class RcnnTracker:
         dets, feats = self.predictor(frames_u8)
         self.frame_count += int(frames_u8.shape[0])
         self.state, recents = self._scan(self.state, dets, feats["p2"])
-        return jax.tree_util.tree_map(np.asarray, recents)
+        recents = jax.tree_util.tree_map(np.asarray, recents)
+        if self.display_info:
+            self._debug_print(dets, recents)
+        return recents
+
+    def _debug_print(self, dets, recents) -> None:
+        """Host-side named traces (reference rcnn_tracker.py DISPLAY_INFO)."""
+        t = recents["valid"].shape[0]
+        for b in range(t):
+            frame = self.frame_count - t + b + 1
+            if "frame_count" in self.display_info:
+                print(f"\nFRAME: {frame}")
+            if "detections" in self.display_info:
+                v = np.asarray(dets["valid"][b])
+                cls = np.asarray(dets["classes"][b])
+                print(f"{int(v.sum())} detections:")
+                for d in np.nonzero(v)[0]:
+                    print(f"detection_id: {d} class: {int(cls[d])}")
+            if "objects" in self.display_info:
+                v = recents["valid"][b]
+                for k in np.nonzero(v)[0]:
+                    print(
+                        f"object id {int(recents['ids'][b][k])} class {int(recents['classes'][b][k])} "
+                        f"score {float(recents['scores'][b][k]):.2f}"
+                    )
 
     def next_frame(self, frame_u8) -> dict[str, np.ndarray]:
         """Single-frame API (rcnn_tracker.py:63); returns the recent snapshot."""
