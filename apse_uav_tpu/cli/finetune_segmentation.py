@@ -10,7 +10,6 @@ the trained mask head can be grafted back into a full detector checkpoint
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -35,7 +34,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    import functools
     import pickle
 
     import jax

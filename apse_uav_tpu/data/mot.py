@@ -21,7 +21,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from apse_uav_tpu.dcnn.ops.roi_align import roi_align, roi_pool
-from apse_uav_tpu.dcnn.tracker import paste_mask_lowres
 
 
 class RoiFeaturesGenerator:

@@ -130,8 +130,11 @@ def uav_tracker_config(num_classes: int = 4) -> ModelConfig:
 class TrackerConfig:
     """RcnnTracker thresholds (reference: dcnn/engines/rcnn_tracker.py:32-47)."""
 
-    max_tracks: int = 128
-    max_detections: int = 100
+    # Fixed capacities: sized for the UAV scenario (a handful of vehicles,
+    # tracks persisting 100 undetected frames).  The Hungarian assignment is
+    # O(capacity^2) sequential device work — keep these tight.
+    max_tracks: int = 32
+    max_detections: int = 32
     roi_size: int = 10
     association_metric: str = "embeddings"  # bbox_center_dist | mask_iou | embeddings
     embedding_dim: int = 128

@@ -15,10 +15,7 @@ TPU-native equivalents of the reference engine layer (dcnn/engines/):
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ masks, and a pure-function training step.
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -20,10 +20,6 @@ Association metrics (rcnn_tracker.py:79-147):
 
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
@@ -243,6 +239,14 @@ def tracker_step(
     det: boxes (D, 4), scores (D,), classes (D,), masks (D, R, R), valid (D,).
     Returns (new_state, recent_objects).
     """
+    # Cap the association problem: the Hungarian solver's sequential
+    # augmenting paths cost O(n^2) latency-bound device steps, so keep only
+    # the top-scoring detections (far above any real per-frame vehicle count).
+    d_cap = det["valid"].shape[0]
+    if d_cap > cfg.max_detections:
+        k = cfg.max_detections
+        _, top = jax.lax.top_k(jnp.where(det["valid"], det["scores"], -jnp.inf), k)
+        det = {key: v[top] for key, v in det.items()}
     emb = detection_embeddings(
         assoc_params, feats_p2, det, image_hw, cfg.roi_size,
         embedding_dim=cfg.embedding_dim,

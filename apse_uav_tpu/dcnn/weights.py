@@ -17,7 +17,7 @@ Covers the reference's checkpoint machinery (SURVEY.md §5):
 from __future__ import annotations
 
 import pickle
-from typing import Any, Callable
+from typing import Any
 
 import numpy as np
 

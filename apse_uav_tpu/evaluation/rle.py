@@ -15,8 +15,6 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Any
-
 import numpy as np
 
 RLE = dict  # {"size": [h, w], "counts": bytes}

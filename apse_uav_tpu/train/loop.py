@@ -91,7 +91,13 @@ def finetune_detector(
             lambda rng: model.init(rng, jnp.asarray(images0[:1]), mode="inference")["params"]
         )(jax.random.PRNGKey(seed))
     params = init_params
-    tx = build_finetune_optimizer(params, to_train, lr=lr)
+    # Linear LR warmup (detectron2 WarmupMultiStepLR default behavior).
+    from apse_uav_tpu.train.optim import warmup_multistep_schedule
+
+    schedule = warmup_multistep_schedule(
+        lr, steps=(), warmup_iters=min(500, max(max_iter // 10, 1))
+    )
+    tx = build_finetune_optimizer(params, to_train, lr=schedule)
     opt_state = tx.init(params)
     manager = ckpt.CheckpointManager(workdir)
     iteration = 0

@@ -62,9 +62,13 @@ def build_finetune_optimizer(
     (reference defaults: finetune_uav.py:161, utils.py:82-88)."""
     labels = param_labels(params, to_train)
     sgd = optax.chain(
+        optax.clip_by_global_norm(10.0),
         optax.add_decayed_weights(weight_decay),
         optax.sgd(learning_rate=lr, momentum=momentum),
     )
+    # Skip (don't apply) non-finite updates instead of corrupting the params —
+    # detection losses can spike on degenerate proposal batches.
+    sgd = optax.apply_if_finite(sgd, max_consecutive_errors=1000)
     return optax.multi_transform(
         {"train": sgd, "frozen": optax.set_to_zero()}, labels
     )

@@ -7,14 +7,11 @@ compiler-inserted collectives (no hand-written NCCL analogue — SURVEY.md §2.3
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 import optax
 
-from apse_uav_tpu.dcnn.config import ModelConfig
 from apse_uav_tpu.dcnn.losses import batch_hard_triplet_loss
 from apse_uav_tpu.dcnn.models.association import AssociationHead
 from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
