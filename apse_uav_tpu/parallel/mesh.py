@@ -62,6 +62,35 @@ def sharded_inference_fn(
     return run
 
 
+def shard_map_batch(mesh: Mesh, fn: Callable, axis: str = "data") -> Callable:
+    """Run ``fn(batch)`` per device on its local shard of the leading axis.
+
+    Unlike :func:`sharded_inference_fn` (which lets XLA's auto-partitioner
+    split a jitted program), shard_map runs the UNPARTITIONED program once
+    per device — required for programs containing custom kernels
+    (pallas_call) that the partitioner cannot split.  This is how the ArUco
+    preproc/detection front scales over frames on a multi-chip mesh.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def tree_spec(tree, spec):
+        return jax.tree_util.tree_map(lambda _: spec, tree)
+
+    def run(batch):
+        sharded = shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=tree_spec(batch, P(axis)),
+            out_specs=P(axis),
+        )
+        return jax.jit(sharded)(batch)
+
+    return run
+
+
 def mean_across_devices(mesh: Mesh, fn: Callable, axis: str = "data") -> Callable:
     """shard_map wrapper computing a cross-device mean of per-shard metrics
     (the eval-aggregation psum pattern)."""

@@ -60,3 +60,33 @@ def test_stage_timer_and_benchmark():
     g = jax.jit(lambda x, seed: (x + seed).sum()[None])
     dt = benchmark(g, jnp.ones(8), iters=3, warmup=1)
     assert dt > 0
+
+
+def test_aruco_front_sharded_over_frames():
+    """The ArUco stateless front (preproc+detect+pose) sharded over an
+    8-device mesh matches the single-device result (SURVEY §2.3: DP over
+    frames is the designed-in parallelism)."""
+    from apse_uav_tpu.core import camera
+    from apse_uav_tpu.aruco.pipeline import ArucoPipeline, ArucoPipelineConfig
+    from apse_uav_tpu.parallel.mesh import shard_map_batch
+
+    W, H = 256, 128
+    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    ms = mtx.copy()
+    ms[0] *= W / 3840.0
+    ms[1] *= H / 2160.0
+    cfg = ArucoPipelineConfig(use_pallas_preproc=False)
+    pipe = ArucoPipeline(ms, dist, (W, H), cfg)
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 255, (8, 3, H, W), dtype=np.uint8))
+
+    ref = pipe.front(frames)
+    mesh = data_mesh()
+    run = shard_map_batch(mesh, lambda f: pipe.front(f)["gray"])
+    gray_sharded = run(frames)
+    # Per-shard compilation reassociates the colorspace math differently than
+    # the batched program: allow LSB-level drift only.
+    d = np.abs(
+        np.asarray(gray_sharded).astype(np.int32) - np.asarray(ref["gray"]).astype(np.int32)
+    )
+    assert d.max() <= 2 and (d > 0).mean() < 0.01, (d.max(), (d > 0).mean())
