@@ -193,3 +193,58 @@ def test_cli_smoke(cam, sequence, tmp_path):
     first = lines[1].split(",")
     assert first[0] == "1" and first[1] == "1"  # host detected on frame 1
     assert len(first) == 16
+
+
+def test_pipeline_centroid_data_comparison(cam, sequence):
+    """useCentroidData path (aruco_detect.py:31,105-123,756-781): DCNN
+    centroid/closest-point distances computed from the 17-col CSV rows."""
+    from apse_uav_tpu.aruco import geometry as geo
+
+    ms, dist = cam
+    frames, _ = sequence
+    cfg = ArucoPipelineConfig(use_pallas_preproc=False, use_centroid_data=True)
+    pipe = ArucoPipeline(ms, dist, (W, H), cfg)
+    t = frames.shape[0]
+    # Synthetic DCNN rows: centroids/closest-points at fixed pixel positions
+    # (group layout: cols 5-8 veh1, 9-12 veh2, 13-16 veh3).
+    rows = np.zeros((t, 17), np.int64)
+    rows[:, 0] = np.arange(t)
+    cents = {1: (420, 300), 2: (700, 180), 3: (520, 420)}
+    for v, (cx, cy) in cents.items():
+        base = 1 + v * 4
+        rows[:, base] = cx
+        rows[:, base + 1] = cy
+        rows[:, base + 2] = cx + 6
+        rows[:, base + 3] = cy + 4
+    carry, out = pipe.process(
+        jnp.asarray(frames.transpose(0, 3, 1, 2)), init_carry(cfg), first=True,
+        centroid_rows=jnp.asarray(rows, jnp.int32),
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    # Oracle for the last frame: distance from the host lidar point to the
+    # given pixel positions, scaled by marker geometry (aruco_detect.py:483-492).
+    tlast = t - 1
+    assert out["detected"][tlast].tolist() == [1, 1, 1, 1]
+    ml = out["marker_length"][tlast]
+    msp = out["msp_avg"][tlast]
+    # lidar point: recompute from the host pose like the pipeline does.
+    lidar_xy = np.asarray(
+        geo.project_int(
+            geo.VEH4_LIDAR,
+            jnp.asarray(out["rvec"][tlast][3]),
+            jnp.asarray(out["tvec"][tlast][3]),
+            jnp.asarray(ms, jnp.float32),
+            jnp.asarray(np.asarray(dist).reshape(-1), jnp.float32),
+        )
+    )[0]
+    for v in (1, 2, 3):
+        cx, cy = cents[v]
+        d_px = np.hypot(lidar_xy[0] - cx, lidar_xy[1] - cy)
+        want = d_px * ml / ((msp[3] + msp[v - 1]) / 2)
+        got = out["dist_dcnn"][tlast][v - 1]
+        assert abs(got - want) < 0.05, (v, got, want)
+        # closest-point column feeds dist_dcnn_bbox
+        d_px_b = np.hypot(lidar_xy[0] - (cx + 6), lidar_xy[1] - (cy + 4))
+        want_b = d_px_b * ml / ((msp[3] + msp[v - 1]) / 2)
+        assert abs(out["dist_dcnn_bbox"][tlast][v - 1] - want_b) < 0.05
