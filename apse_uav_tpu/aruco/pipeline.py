@@ -137,7 +137,11 @@ class ArucoPipeline:
         if self.cfg.use_pallas_preproc:
             from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
 
-            self.pre = PallasPreprocessor(np.asarray(mtx, np.float64), np.asarray(dist, np.float64), size_wh, interpret=interpret)
+            # The detection pipeline consumes only gray — skip the RGB output.
+            self.pre = PallasPreprocessor(
+                np.asarray(mtx, np.float64), np.asarray(dist, np.float64), size_wh,
+                interpret=interpret, want_rgb=False,
+            )
         else:
             from apse_uav_tpu.preproc.remap import Preprocessor
 

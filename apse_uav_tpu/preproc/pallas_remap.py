@@ -475,7 +475,7 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
     return r8, g8, b8, jnp.clip(gray, 0.0, 255.0)
 
 
-def _make_kernel(dims: "_PlanDims", gamma: float):
+def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
     rh, rw, dy, dx = dims.rh, dims.rw, dims.dy, dims.dx
     rh1, rw1, dy1, dx1 = dims.rh1, dims.rw1, dims.dy1, dims.dx1
     nty, ntx = dims.height // TH, dims.width // TW
@@ -483,7 +483,12 @@ def _make_kernel(dims: "_PlanDims", gamma: float):
     has_wild = dims.nwild > 0
 
     def kernel(tab_ref, yres_ref, lxres_ref, wyres_ref, wlxres_ref, src_ref,
-               out_ref, gray_ref, s_u8, sem):
+               *out_refs):
+        if want_rgb:
+            out_ref, gray_ref, s_u8, sem = out_refs
+        else:
+            gray_ref, s_u8, sem = out_refs
+            out_ref = None
         b = pl.program_id(0)
         ti = pl.program_id(1)
         tj = pl.program_id(2)
@@ -555,9 +560,10 @@ def _make_kernel(dims: "_PlanDims", gamma: float):
                     o = o + ws_x[e] * v[:, e : e + TW]
                 planes.append(jnp.clip(jnp.round(o), 0.0, 255.0))
             c0, c1, c2, gray = lab_gamma_gray_f32(planes[0], planes[1], planes[2], gamma)
-            out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
-            out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
-            out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
+            if want_rgb:
+                out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
             gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
 
         def wait_for(slot_, bb, tti, ttj, wild_: bool):
@@ -631,10 +637,15 @@ class PallasPreprocessor:
         out, gray = pre(frames)   # frames: (B, 3, H, W) uint8 planar
     """
 
-    def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False):
+    def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False,
+                 want_rgb: bool = True):
         self.plan = build_remap_plan(mtx, dist, size_wh)
         self.gamma = float(gamma)
         self.interpret = interpret
+        # want_rgb=False skips the 3-channel gamma-corrected output entirely
+        # (the detection pipeline consumes only gray) — one less full-frame
+        # HBM write per frame.
+        self.want_rgb = want_rgb
         p = self.plan
         self._table = jnp.asarray(p.table)
         self._yres = jnp.asarray(p.yres)
@@ -652,12 +663,13 @@ class PallasPreprocessor:
         return _fused_preproc(
             frames, self._table, self._yres, self._lxres, self._wyres, self._wlxres,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
+            want_rgb=self.want_rgb,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret"))
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb"))
 def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
-                   *, dims: _PlanDims, gamma: float, interpret: bool):
+                   *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
     bsz, _, h, w = frames.shape
@@ -667,7 +679,7 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
         ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y), (dims.pad_x, dims.padded_w - w - dims.pad_x)),
     )
     nty, ntx = h // TH, w // TW
-    kernel = _make_kernel(dims, gamma)
+    kernel = _make_kernel(dims, gamma, want_rgb)
     nwild = max(dims.nwild, 1)
 
     def wild_idx(b, i, j, tab):
@@ -684,8 +696,12 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((1, 3, TH, TW), lambda b, i, j, tab: (b, 0, i, j)),
-            pl.BlockSpec((1, TH, TW), lambda b, i, j, tab: (b, i, j)),
+            (
+                pl.BlockSpec((1, 3, TH, TW), lambda b, i, j, tab: (b, 0, i, j)),
+                pl.BlockSpec((1, TH, TW), lambda b, i, j, tab: (b, i, j)),
+            )
+            if want_rgb
+            else (pl.BlockSpec((1, TH, TW), lambda b, i, j, tab: (b, i, j)),)
         ),
         scratch_shapes=[
             pltpu.VMEM(
@@ -696,13 +712,20 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
-    out, gray = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
+    out_shape = (
+        (
             jax.ShapeDtypeStruct((bsz, 3, h, w), jnp.uint8),
             jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),
-        ),
+        )
+        if want_rgb
+        else (jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),)
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(table, yres, lxres, wyres, wlxres, padded)
-    return out, gray
+    if want_rgb:
+        return res
+    return None, res[0]

@@ -106,6 +106,7 @@ def test_wild_bucket_matches_cv2_chain():
     pre.plan = plan
     pre.gamma = 2.0
     pre.interpret = True
+    pre.want_rgb = True
     import jax.numpy as jnp2
 
     pre._table = jnp2.asarray(plan.table)
