@@ -22,7 +22,14 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+_STAGE_BLOCKS = {
+    # depth 26 = one bottleneck per stage: smallest config with the same
+    # topology (used by compile-time-sensitive dryruns/tests).
+    26: (1, 1, 1, 1),
+    50: (3, 4, 6, 3),
+    101: (3, 4, 23, 3),
+    152: (3, 8, 36, 3),
+}
 
 
 class FrozenBN(nn.Module):

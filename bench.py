@@ -38,9 +38,9 @@ def main() -> None:
         size_wh, batch, iters = (1280, 736), 2, 2
 
     w, h = size_wh
-    # The real reference camera when available (its lens determines the
-    # tame/wild tile split and thus kernel work); otherwise a mild UAV lens.
-    ref = "/root/reference/data/cam_params.json"
+    # The real reference camera, vendored (its lens determines the tame/wild
+    # tile split and thus kernel work); fallback: a mild UAV lens.
+    ref = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "cam_params.json")
     if os.path.exists(ref):
         from apse_uav_tpu.core.camera import load_camera_params
 
