@@ -135,26 +135,38 @@ def _proposals(gray: Array, p: DetectorParams):
     stack = jnp.stack(scores)  # (S, ny, nx)
 
     # Scale-proportional non-max suppression: dilate each scale's score map
-    # by ~half its marker size (separable 3x3 passes), then keep positions
-    # that win against every scale's dilated map — one candidate per marker,
-    # at its best-responding scale (sub-pattern responses at smaller scales
-    # are suppressed by the larger winner instead of flooding the top-K).
-    def max3(a, axis):
+    # by ~half its marker size, then keep positions that win against every
+    # scale's dilated map — one candidate per marker, at its best-responding
+    # scale (sub-pattern responses at smaller scales are suppressed by the
+    # larger winner instead of flooding the top-K).
+    def shift_max(a, d, axis):
         pad = [(0, 0), (0, 0)]
-        pad[axis] = (1, 1)
+        pad[axis] = (d, d)
         a_p = jnp.pad(a, pad, constant_values=-jnp.inf)
         n = a.shape[axis]
-        sl = lambda d: tuple(
-            slice(1 + d, 1 + d + n) if ax == axis else slice(None) for ax in range(2)
+        sl = lambda o: tuple(
+            slice(d + o, d + o + n) if ax == axis else slice(None) for ax in range(2)
         )
-        return jnp.maximum(jnp.maximum(a_p[sl(-1)], a_p[sl(0)]), a_p[sl(1)])
+        return jnp.maximum(jnp.maximum(a_p[sl(-d)], a_p[sl(0)]), a_p[sl(d)])
 
-    dilated = []
-    for si, (size_px, _) in enumerate(metas):
-        a = stack[si]
-        for _ in range(max(int(size_px) // st // 2, 1)):
-            a = max3(max3(a, 0), 1)
-        dilated.append(a)
+    def dilate_sq(a, r):
+        """Separable square max-dilation, radius exactly r, O(log r) passes.
+
+        After reaching cumulative radius c, a +-d shift-max with d <= c + 1
+        extends coverage contiguously to c + d — so doubling offsets give the
+        same result as r radius-1 passes at a fraction of the memory traffic.
+        """
+        done = 0
+        while done < r:
+            d = min(done + 1, r - done)
+            a = shift_max(shift_max(a, d, 0), d, 1)
+            done += d
+        return a
+
+    dilated = [
+        dilate_sq(stack[si], max(int(size_px) // st // 2, 1))
+        for si, (size_px, _) in enumerate(metas)
+    ]
     # Adjacent-scale suppression only: a genuine marker responding best at a
     # far-away scale (sub-pattern vs whole marker) keeps both candidates and
     # the post-decode dedup picks the real quad.
@@ -165,7 +177,19 @@ def _proposals(gray: Array, p: DetectorParams):
     ]
     is_max = (stack >= jnp.stack(cross)) & (stack > p.score_threshold)
     flat = jnp.where(is_max, stack, 0.0).reshape(-1)
-    vals, idx = jax.lax.top_k(flat, p.max_candidates)
+    # Hierarchical top-K: a global sort of the S*ny*nx (~5M) score vector is
+    # ~2 ms on v5e.  Group-max -> top-K groups -> top-K within those groups
+    # is exact: any group holding a true top-K element has group-max >= that
+    # element, and K groups ranked above it would each contribute a larger
+    # element, contradicting its top-K membership.
+    k = p.max_candidates
+    gsz = 2048
+    padn = (-flat.shape[0]) % gsz
+    groups = jnp.pad(flat, (0, padn), constant_values=-1.0).reshape(-1, gsz)
+    _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
+    sub = groups[gidx]  # (k, gsz) — small gather, nothing like the full sort
+    vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
+    idx = gidx[sidx // gsz] * gsz + sidx % gsz
     si = idx // (ny * nx)
     rem = idx % (ny * nx)
     iy = rem // nx

@@ -20,7 +20,12 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_BIG = 1e7
+# Pad value for masked entries.  Must dominate any real cost but stay small
+# enough that f32 keeps resolution when padded rows join augmenting paths:
+# ULP(1e4) ~ 1e-3, far below meaningful cost differences (embedding
+# distances are < 4 with threshold 0.6); ULP(1e7) would be 1.0 and silently
+# absorb sub-unit dual-potential updates.
+_BIG = 1e4
 
 
 @functools.partial(jax.jit, static_argnames=("maximize",))

@@ -73,17 +73,18 @@ class MaskRCNN(nn.Module):
         std = jnp.asarray(self.cfg.input.pixel_std)
         return (images - mean) / std
 
-    def __call__(self, images: Array, mode: str = "inference", gt: dict | None = None, rng: Array | None = None):
+    def __call__(self, images: Array, mode: str = "inference", gt: dict | None = None, rng: Array | None = None,
+                 freeze_backbone: bool = False):
         if mode == "backbone":
             return self.backbone(self._normalize(images))
         if mode == "inference":
             return self.inference(images)
         if mode == "losses":
-            return self.losses(images, gt, rng)
+            return self.losses(images, gt, rng, freeze_backbone=freeze_backbone)
         if mode == "losses_gt_proposals":
             # PrecomputedProposals regime (finetune_segmentation.py:82-93):
             # the RPN is bypassed and GT boxes feed the ROI heads directly.
-            return self.losses(images, gt, rng, gt_proposals=True)
+            return self.losses(images, gt, rng, gt_proposals=True, freeze_backbone=freeze_backbone)
         raise ValueError(mode)
 
     def inference(self, images: Array, rpn_levels: tuple[str, ...] | None = None) -> tuple[dict[str, Array], dict[str, Array]]:
@@ -131,16 +132,25 @@ class MaskRCNN(nn.Module):
         dets = jax.vmap(per_image)(logits, deltas, pool_feats)
         return dets, feats
 
-    def losses(self, images: Array, gt: dict[str, Array], rng: Array, gt_proposals: bool = False) -> dict[str, Array]:
+    def losses(self, images: Array, gt: dict[str, Array], rng: Array, gt_proposals: bool = False,
+               freeze_backbone: bool = False) -> dict[str, Array]:
         """Training losses.
 
         gt: boxes (B, G, 4), classes (B, G), valid (B, G), and (if mask_on)
         masks_28 (B, G, 2R, 2R) — GT masks rasterized per matched box are
         approximated by per-GT-box masks resampled to the sampled box inside
         the loss (crop_and_resize on device).
+
+        ``freeze_backbone`` stop-gradients the feature maps — matching the
+        reference fine-tune regime (finetune_uav.py:161: only RPN + ROI
+        heads train) and, crucially for performance, eliminating the entire
+        conv backward + the ROIAlign-gather transpose (a giant scatter-add
+        into the FPN maps, the slowest op on both TPU and CPU).
         """
         cfg = self.cfg
         feats = self.backbone(self._normalize(images))
+        if freeze_backbone:
+            feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         rpn_feats = {n: feats[n] for n in RPN_LEVELS}
         logits, deltas = self.rpn_head(rpn_feats)
         level_shapes = {n: tuple(rpn_feats[n].shape[1:3]) for n in RPN_LEVELS}

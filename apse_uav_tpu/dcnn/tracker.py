@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from apse_uav_tpu.dcnn.config import TrackerConfig
+from apse_uav_tpu.dcnn import hungarian as hungarian_mod
 from apse_uav_tpu.dcnn.hungarian import linear_sum_assignment, pad_cost
 from apse_uav_tpu.dcnn.models.association import AssociationHead
 from apse_uav_tpu.dcnn.ops.roi_align import roi_align_hwc
@@ -148,7 +149,9 @@ def associate_embeddings(
     n = max(cap, d_cap)
     diffs = state["embeddings"][:, None, :] - embeddings[None, :, :]
     dist = jnp.sum(diffs * diffs, axis=-1)  # (T, D)
-    cost = jnp.full((n, n), _BIG, jnp.float32)
+    # Pad with the solver's finite pad value (NOT _BIG=1e7: f32 ULP there is
+    # 1.0, which erases sub-unit cost differences in augmenting paths).
+    cost = jnp.full((n, n), hungarian_mod._BIG, jnp.float32)
     cost = cost.at[:cap, :d_cap].set(
         pad_cost(dist, state["active"], det["valid"])
     )

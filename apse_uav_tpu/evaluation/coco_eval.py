@@ -65,10 +65,18 @@ class CocoEvaluator:
         self._img_cat = set()
         self._cats = set()
 
+    def _default_area(self, obj: dict) -> float:
+        # pycocotools semantics: segm eval gates area ranges on the MASK
+        # area (loadRes sets dt area from the segmentation); bbox eval uses
+        # w*h.  APs/APm/APl would otherwise deviate from reference numbers.
+        if self.iou_type == "segm" and obj.get("segmentation") is not None:
+            return float(rletools.area(obj["segmentation"]))
+        return float(obj["bbox"][2] * obj["bbox"][3])
+
     def add_ground_truth(self, gts: list[dict]) -> None:
         for g in gts:
             if "area" not in g:
-                g = {**g, "area": float(g["bbox"][2] * g["bbox"][3])}
+                g = {**g, "area": self._default_area(g)}
             g.setdefault("iscrowd", 0)
             key = (g["image_id"], g["category_id"])
             self._gts[key].append(g)
@@ -77,6 +85,8 @@ class CocoEvaluator:
 
     def add_detections(self, dts: list[dict]) -> None:
         for d in dts:
+            if "area" not in d:
+                d = {**d, "area": self._default_area(d)}
             key = (d["image_id"], d["category_id"])
             self._dts[key].append(d)
             self._img_cat.add(key)
@@ -136,9 +146,10 @@ class CocoEvaluator:
                 dt_match[ti, di] = m + 1
                 gt_match[ti, m] = di + 1
                 dt_ignore[ti, di] = g_ignore[m]
-        # Unmatched detections outside the area range are ignored.
+        # Unmatched detections outside the area range are ignored (mask area
+        # in segm mode — see _default_area).
         d_area_out = np.asarray(
-            [not (area_rng[0] <= d_["bbox"][2] * d_["bbox"][3] < area_rng[1]) for d_ in dts],
+            [not (area_rng[0] <= d_["area"] < area_rng[1]) for d_ in dts],
             bool,
         )
         dt_ignore |= (dt_match == 0) & d_area_out[None]

@@ -109,7 +109,10 @@ def finetune_detector(
             iteration = int(state["iteration"])
             log_fn(f"resumed at iteration {iteration}")
 
-    step = jax.jit(functools.partial(detector_train_step, model, tx))
+    step = jax.jit(functools.partial(
+        detector_train_step, model, tx,
+        freeze_backbone="backbone" not in to_train,
+    ))
     rng = jax.random.PRNGKey(seed + 1)
     results_path = os.path.join(workdir, "results.txt")
     batch = (images0, gt0)
@@ -135,7 +138,11 @@ def finetune_detector(
                 f"iter {iteration}: AP={stats['AP']:.4f} AR={stats['AR100']:.4f} "
                 f"loss={losses['loss_total']:.4f} ({time.time() - t0:.1f}s)"
             )
-        batch = next(it)
+        if iteration < max_iter:
+            try:
+                batch = next(it)
+            except StopIteration:
+                break  # finite iterable exhausted: stop after the last step
     return params
 
 

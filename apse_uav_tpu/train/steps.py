@@ -27,11 +27,20 @@ def detector_train_step(
     images: Array,
     gt: dict[str, Array],
     rng: Array,
+    freeze_backbone: bool = False,
 ) -> tuple[Any, Any, dict[str, Array]]:
-    """One SGD step on the full detector loss (finetune_uav.py:231-246)."""
+    """One SGD step on the full detector loss (finetune_uav.py:231-246).
+
+    Pass ``freeze_backbone=True`` when the optimizer masks out backbone
+    params (the reference regime): it stop-gradients the FPN features,
+    skipping the conv backward and the ROIAlign scatter-add transpose.
+    """
 
     def loss_fn(p):
-        losses = model.apply({"params": p}, images, mode="losses", gt=gt, rng=rng)
+        losses = model.apply(
+            {"params": p}, images, mode="losses", gt=gt, rng=rng,
+            freeze_backbone=freeze_backbone,
+        )
         total = sum(losses.values())
         return total, losses
 

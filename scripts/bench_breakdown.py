@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Per-stage throughput breakdown of the ArUco pipeline on the real TPU.
+
+Honest-measurement rules (PERF_NOTES.md): every iteration evolves the input
+buffer through the computation and ends with a host read.
+
+Usage: python scripts/bench_breakdown.py [stage ...]
+Stages: preproc proposals detect front scan full  (default: all)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+REPO = __file__.rsplit("/scripts/", 1)[0]
+sys.path.insert(0, REPO)
+
+
+def timed(step, frames, iters=16, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        frames = step(frames)
+    _ = float(frames[0, 0, 0, 0] if frames.ndim == 4 else frames.reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frames = step(frames)
+    _ = float(frames[0, 0, 0, 0] if frames.ndim == 4 else frames.reshape(-1)[0])
+    dt = time.perf_counter() - t0
+    return dt / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from apse_uav_tpu.aruco.pipeline import ArucoPipeline, ArucoPipelineConfig, init_carry
+    from apse_uav_tpu.aruco import detector as det
+    from apse_uav_tpu.core.camera import load_camera_params
+
+    stages = sys.argv[1:] or ["preproc", "proposals", "detect", "front", "scan", "full"]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    print("platform:", jax.devices()[0].platform)
+    if on_tpu:
+        w, h, batch, iters = 3840, 2160, 8, 16
+    else:
+        w, h, batch, iters = 1280, 736, 2, 2
+
+    mtx, dist = load_camera_params(f"{REPO}/data/cam_params.json")
+    mtx = mtx * np.array([[w / 3840, 1, w / 3840], [1, h / 2160, h / 2160], [1, 1, 1.0]])
+    cfg = ArucoPipelineConfig(use_pallas_preproc=on_tpu)
+    pipe = ArucoPipeline(mtx, dist, (w, h), cfg)
+
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(rng.integers(0, 255, (batch, 3, h, w), dtype=np.uint8))
+    gray0 = jnp.asarray(rng.integers(0, 255, (batch, h, w), dtype=np.uint8))
+    carry0 = init_carry(cfg)
+    p = pipe.detector.params
+
+    def report(name, dt_batch):
+        ms = dt_batch / batch * 1e3
+        print(f"{name:12s} {ms:7.2f} ms/frame   ({batch / dt_batch:7.1f} fps)")
+
+    if "preproc" in stages:
+        @jax.jit
+        def s_pre(fr):
+            _, gray = pipe.pre(fr) if cfg.use_pallas_preproc else pipe.pre(jnp.transpose(fr, (0, 2, 3, 1)))
+            bump = (gray[:, ::512, ::512].sum() & jnp.uint8(3)) | jnp.uint8(1)
+            return fr + bump
+        report("preproc", timed(s_pre, frames, iters))
+
+    if "proposals" in stages:
+        @jax.jit
+        def s_prop(g):
+            def one(gi):
+                centers, sizes, vals, valid = det._proposals(gi.astype(jnp.float32), p)
+                return centers.sum() + sizes.sum() + vals.sum()
+            s = jax.vmap(one)(g).sum()
+            return g + (s.astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("proposals", timed(s_prop, gray0, iters))
+
+    if "detect" in stages:
+        @jax.jit
+        def s_det(g):
+            corners, ids = pipe.detector.detect(g)
+            bump = (corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1)
+            return g + bump
+        report("detect", timed(s_det, gray0, iters))
+
+    if "front" in stages:
+        @jax.jit
+        def s_front(fr):
+            f = pipe.front(fr)
+            bump = (f["msp"].sum() + f["cx"].sum()).astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1)
+            return fr + bump
+        report("front", timed(s_front, frames, iters))
+
+    if "full" in stages:
+        @jax.jit
+        def s_full(fr):
+            f = pipe.front(fr)
+            firsts = jnp.zeros(fr.shape[0], bool).at[0].set(True)
+            carry, out = pipe.scan(carry0, f, firsts, jnp.zeros((fr.shape[0], 17), jnp.int32))
+            bump = out["dist_aruco"].sum().astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1)
+            return fr + bump
+        report("full", timed(s_full, frames, iters))
+
+
+if __name__ == "__main__":
+    main()
