@@ -102,24 +102,7 @@ def test_wild_bucket_matches_cv2_chain():
     ).clip(0, 255).astype(np.uint8)
     ref, ref_gray = _reference_chain(img, mtx, dist, w, h)
 
-    pre = PallasPreprocessor.__new__(PallasPreprocessor)
-    pre.plan = plan
-    pre.gamma = 2.0
-    pre.interpret = True
-    pre.want_rgb = True
-    import jax.numpy as jnp2
-
-    pre._table = jnp2.asarray(plan.table)
-    pre._yres = jnp2.asarray(plan.yres)
-    pre._lxres = jnp2.asarray(plan.lxres)
-    pre._wyres = jnp2.asarray(plan.wild_yres)
-    pre._wlxres = jnp2.asarray(plan.wild_lxres)
-    pre._dims = pr._PlanDims(
-        width=plan.width, height=plan.height, pad_x=plan.pad_x, pad_y=plan.pad_y,
-        padded_w=plan.padded_w, padded_h=plan.padded_h, dy=plan.dy, dx=plan.dx,
-        rh=plan.rh, rw=plan.rw, dy1=plan.dy1, dx1=plan.dx1, rh1=plan.rh1,
-        rw1=plan.rw1, nwild=len(plan.wild_yx),
-    )
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, plan=plan)
     out, gray = pre(jnp.asarray(img.transpose(2, 0, 1)[None]))
     out = np.asarray(out)[0].transpose(1, 2, 0).astype(np.int32)
     gray = np.asarray(gray)[0].astype(np.int32)
