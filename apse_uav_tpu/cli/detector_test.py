@@ -19,6 +19,7 @@ def main(argv=None) -> int:
     p.add_argument("--depth", type=int, default=101, choices=(50, 101))
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--confidence", type=float, default=0.5)
+    p.add_argument("--no_mask", action="store_true", help="Faster R-CNN weights (no mask head)")
     p.add_argument("--output_dir", default=None)
     args = p.parse_args(argv)
 
@@ -37,6 +38,8 @@ def main(argv=None) -> int:
     make = mask_rcnn_r50_fpn if args.depth == 50 else mask_rcnn_r101_fpn
     cfg = make(num_classes=args.num_classes)
     cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=args.confidence))
+    if args.no_mask:
+        cfg = dataclasses.replace(cfg, mask_on=False)
     model = MaskRCNN(cfg=cfg)
     params = jax.jit(
         lambda rng: model.init(rng, jnp.zeros((1, 64, 64, 3)), mode="inference")["params"]

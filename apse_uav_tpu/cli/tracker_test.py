@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     mode.add_argument("--sequence", help="image directory")
     mode.add_argument("--mots_evaluation", help="seqmap file")
     mode.add_argument("--webcam", action="store_true")
+    mode.add_argument("--video", help="video file path or stream URL (reference --youtube "
+                      "harness: pafy is dead, so resolve page URLs to stream URLs with "
+                      "yt-dlp -g first; direct files/RTSP/HTTP streams work as-is)")
     p.add_argument("--kitti_root", default=None, help="KITTI-MOTS images root (one dir per sequence)")
     p.add_argument("--output_dir", default="mots_results")
     p.add_argument("--weights", required=True)
@@ -119,14 +122,28 @@ def run_mots(args) -> int:
 
 
 def run_webcam(args) -> int:
+    return _run_capture(args, 0, "no webcam available")
+
+
+def run_video(args) -> int:
+    """Stream/video harness (standard_rcnn_tracker_test.py:138-161).
+
+    The reference resolved YouTube page URLs with pafy; that library is
+    unmaintained, so this takes anything cv2.VideoCapture opens (files,
+    RTSP/HTTP streams, or a stream URL from ``yt-dlp -g``).
+    """
+    return _run_capture(args, args.video, f"cannot open {args.video}")
+
+
+def _run_capture(args, source, err) -> int:
     import cv2
 
     from apse_uav_tpu.utils.visualizer import TrackVisualizer
 
-    cam = cv2.VideoCapture(0)
+    cam = cv2.VideoCapture(source)
     ret, frame = cam.read()
     if not ret:
-        print("no webcam available")
+        print(err)
         return 1
     tracker = _build_tracker(args, frame.shape[:2])
     vis = TrackVisualizer()
@@ -149,6 +166,8 @@ def main(argv=None) -> int:
         if not args.kitti_root:
             raise SystemExit("--mots_evaluation requires --kitti_root")
         return run_mots(args)
+    if args.video:
+        return run_video(args)
     return run_webcam(args)
 
 

@@ -71,7 +71,7 @@ TW = 256
 ALIGN_Y = 32
 ALIGN_X = 512
 
-_REC = 5  # per-tile scalar record: oy, ox, shifty, shiftx, wild_rank
+_REC = 5  # per-tile scalar record: oy, ox, shifty, qx_shift, wild_rank
 
 
 def _distort_map_f64(mtx: np.ndarray, dist: np.ndarray, width: int, height: int):
@@ -126,6 +126,7 @@ class RemapPlan:
     pad_y: int
     padded_w: int
     padded_h: int
+    nat: int  # post-roll compute width (columns) shared by both buckets
     # Bucket 0 (tame).
     dy: int
     dx: int
@@ -170,14 +171,14 @@ def build_remap_plan(
         key = hashlib.sha256(
             np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
             + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
-            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v6".encode()
+            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v8".encode()
         ).hexdigest()[:16]
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
         path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
         if os.path.exists(path):
             z = np.load(path)
             ints = {k: int(z[k]) for k in (
-                "width height pad_x pad_y padded_w padded_h dy dx rh rw dy1 dx1 rh1 rw1".split()
+                "width height pad_x pad_y padded_w padded_h nat dy dx rh rw dy1 dx1 rh1 rw1".split()
             )}
             return RemapPlan(
                 **ints,
@@ -342,27 +343,53 @@ def build_remap_plan(
         # the extra tame-window bytes are noise.
         rh_u = max(b0.rh, b1.rh)
         rw_u = max(b0.rw, b1.rw)
-        def widen(b: _Bucket) -> _Bucket:
-            yres = b.yres
-            if yres.shape[-1] < rw_u:
-                yres = np.pad(yres, [(0, 0)] * (yres.ndim - 1) + [(0, rw_u - yres.shape[-1])])
-            # The cyclic rolls change meaning with the window size: recompute
-            # the shift amounts modulo the UNIFIED rh/rw.
-            offsets = b.offsets.copy()
-            offsets[..., 2] = ((-b.rolly) % rh_u).astype(np.int32)
-            offsets[..., 3] = ((-b.rollx) % rw_u).astype(np.int32)
-            return dataclasses.replace(
-                b, rh=rh_u, rw=rw_u, yres=yres, offsets=offsets,
-                max_oy_end=int((offsets[..., 0] + rh_u).max()),
-                max_ox_end=int((offsets[..., 1] + rw_u).max()),
-            )
-        b0 = widen(b0)
-        b1 = widen(b1)
-        wild_yres = b1.yres[wi, wj]  # (nw, TH, rw_u)
+    else:
+        b1 = dataclasses.replace(b0, dy=2, dx=2)
+        rh_u, rw_u = b0.rh, b0.rw
+
+    # Roll-early narrowing: the kernel aligns the PACKED window with cyclic
+    # rolls (rows by shifty; lanes by whole i32 words qx = floor(rollx/4)),
+    # then computes only over the first `nat` post-roll columns — the
+    # consumed span TW + dx plus slack, far narrower than the aligned
+    # window rw.  The byte residue m = rollx - 4*qx is absorbed into the
+    # HORIZONTAL residuals (lxres + m, up to 3 extra taps) so the unpack is
+    # a pure plane split with no per-tile reorder.  The vertical fields are
+    # re-indexed to POST-roll columns.
+    dx_eff = max(b0.dx, b1.dx) + 3
+    nat = -(-(TW + dx_eff + 8) // 512) * 512
+    rw_u = max(rw_u, nat + ALIGN_X)
+
+    def narrow(b: _Bucket) -> _Bucket:
+        yres = b.yres
+        if yres.shape[-1] < rw_u:
+            yres = np.pad(yres, [(0, 0)] * (yres.ndim - 1) + [(0, rw_u - yres.shape[-1])])
+        qx = np.floor_divide(b.rollx, 4)
+        m = (b.rollx - 4 * qx).astype(np.int32)  # byte residue 0..3
+        # Post-roll column c reads window column c + 4*qx (clipped reads
+        # land on columns whose horizontal weights are zero — harmless).
+        idx = np.clip(
+            np.arange(nat)[None, None, None, :] + 4 * qx[:, :, None, None], 0, rw_u - 1
+        )
+        yres_nat = np.take_along_axis(yres, np.broadcast_to(idx, yres.shape[:-1] + (nat,)), axis=-1)
+        # Horizontal residuals shift by the byte residue (sentinel stays).
+        lxres = np.where(b.lxres <= -2.0, b.lxres, b.lxres + m[:, :, None, None]).astype(np.float32)
+        offsets = b.offsets.copy()
+        offsets[..., 2] = ((-b.rolly) % rh_u).astype(np.int32)
+        offsets[..., 3] = ((-qx) % (rw_u // 4)).astype(np.int32)  # packed-lane shift
+        return dataclasses.replace(
+            b, rh=rh_u, rw=rw_u, dx=b.dx + 3, yres=yres_nat.astype(np.float32), lxres=lxres,
+            offsets=offsets,
+            max_oy_end=int((offsets[..., 0] + rh_u).max()),
+            max_ox_end=int((offsets[..., 1] + rw_u).max()),
+        )
+
+    b0 = narrow(b0)
+    b1 = narrow(b1)
+    if len(wild_yx):
+        wild_yres = b1.yres[wi, wj]  # (nw, TH, nat)
         wild_lxres = b1.lxres[wi, wj]
     else:
-        b1 = dataclasses.replace(b0, rh=b0.rh, rw=b0.rw, dy=2, dx=2)
-        wild_yres = np.zeros((1, TH, b0.rw), np.float32)
+        wild_yres = np.zeros((1, TH, nat), np.float32)
         wild_lxres = np.full((1, TH, TW), -2.0, np.float32)
 
     padded_w = max(-(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X, b0.max_ox_end, b1.max_ox_end if len(wild_yx) else 0)
@@ -379,7 +406,7 @@ def build_remap_plan(
 
     return RemapPlan(
         width=width, height=height, pad_x=pad_x, pad_y=pad_y,
-        padded_w=int(padded_w), padded_h=int(padded_h),
+        padded_w=int(padded_w), padded_h=int(padded_h), nat=int(nat),
         dy=b0.dy, dx=b0.dx, rh=b0.rh, rw=b0.rw,
         yres=b0.yres, lxres=b0.lxres,
         dy1=b1.dy, dx1=b1.dx, rh1=b1.rh, rw1=b1.rw,
@@ -571,48 +598,37 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
             start_for(1 - slot, step + 1)
 
         base = (ti * ntx + tj) * _REC
-        my_wild = tab_ref[base + 4] >= 0
         shifty = tab_ref[base + 2]
-        shiftx = tab_ref[base + 3]
+        qx_shift = tab_ref[base + 3]  # packed-lane roll (i32 words)
+        my_wild = tab_ref[base + 4] >= 0
 
-        def resample(src_rows, yres_p, lxres_p, dy_, dx_, rw_):
+        nat = dims.nat
+        nat4 = nat // 4
+
+        def resample(src_rows, yres_p, lxres_p, dy_, dx_, rows_):
             """Two-pass shift-MAC resample + LAB gamma + writes.
 
-            Everything runs in DEINTERLEAVED lane space: the i32-packed
-            window unpacks into 4 byte-planes concatenated along lanes
-            (perm column p*rw/4 + a  <->  natural column 4a + p), the
-            residual fields arrive host-permuted to match, the dynamic
-            horizontal roll is re-expressed as 4 per-plane rolls + selects,
-            and the horizontal MAC runs per output residue with static
-            plane slices.  Outputs stay perm-ordered; the XLA wrapper
+            Roll-early, deinterleaved: the PACKED window is aligned with
+            cyclic rolls (rows, then whole-i32-word lanes), sliced to the
+            consumed span, and unpacked into 4 byte-planes concatenated
+            along lanes (perm column p*nat/4 + a <-> post-roll natural
+            column 4a + p; the byte residue of the roll is folded into the
+            plane reorder).  Residual fields arrive host-permuted and
+            re-indexed to post-roll columns, so both MAC passes use static
+            slices only.  Outputs stay perm-ordered; the XLA wrapper
             reinterleaves the full frames once at the end.
             """
-            rw4_ = rw_ // 4
             tw4 = TW // 4
             ws_v = [jnp.maximum(0.0, 1.0 - jnp.abs(yres_p - float(d))) for d in range(dy_)]
-            # Natural roll amount (read position offset): v_nat[(m + w) % rw].
-            w_nat = jax.lax.rem(rw_ - shiftx, rw_)
             planes_out = []
             for ch in range(3):
-                s = src_rows(ch)  # (rh_, rw_) f32 perm-order, rolled vertically
-                v = jnp.zeros((TH, rw_), jnp.float32)
+                s = src_rows(ch, rows_)  # (rows_, nat) f32 perm-order, aligned
+                v = jnp.zeros((TH, nat), jnp.float32)
                 for d in range(dy_):
                     v = v + ws_v[d] * s[d : d + TH, :]
-                # Dynamic natural roll in perm space: output plane p reads
-                # source plane (p + w) % 4 rolled left by (p + w) // 4.
-                vplanes = [v[:, p * rw4_ : (p + 1) * rw4_] for p in range(4)]
-                rolled = []
-                for p in range(4):
-                    tmod = jax.lax.rem(p + w_nat, 4)
-                    toff = jax.lax.rem((p + w_nat) // 4, rw4_)
-                    sel = vplanes[0]
-                    for k in range(1, 4):
-                        sel = jnp.where(tmod == k, vplanes[k], sel)
-                    rolled.append(pltpu.roll(sel, shift=jax.lax.rem(rw4_ - toff, rw4_), axis=1))
-                vr = jnp.concatenate(rolled, axis=1)  # (TH, rw_)
-                # Horizontal MAC per output residue b: natural column
-                # c = 4a + b, tap e reads natural c + e = plane (b+e)%4 at
-                # a + (b+e)//4 — static slices of vr.
+                # Horizontal MAC per output residue b: post-roll natural
+                # column c = 4a + b, tap e reads natural c + e = plane
+                # (b+e)%4 at a + (b+e)//4 — static slices of v.
                 outs = []
                 for bres in range(4):
                     lx_b = lxres_p[:, bres * tw4 : (bres + 1) * tw4]
@@ -620,8 +636,8 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
                     for e in range(dx_):
                         wgt = jnp.maximum(0.0, 1.0 - jnp.abs(lx_b - float(e)))
                         t = bres + e
-                        base = (t % 4) * rw4_ + (t // 4)
-                        o_b = o_b + wgt * vr[:, base : base + tw4]
+                        pbase = (t % 4) * nat4 + (t // 4)
+                        o_b = o_b + wgt * v[:, pbase : pbase + tw4]
                     outs.append(o_b)
                 o = jnp.concatenate(outs, axis=1)  # (TH, TW) perm-order
                 planes_out.append(jnp.clip(jnp.round(o), 0.0, 255.0))
@@ -635,19 +651,30 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
         for d in dmas(slot, b, ti, tj):
             d.wait()
 
-        def rows(ch):
-            # Unpack the i32-packed window into DEINTERLEAVED byte planes
-            # (little-endian: byte k of lane a = natural column 4a + k),
-            # concatenated along lanes — perm column k*rw/4 + a.
-            s32 = s_u8[slot, ch, 0:rh, 0:rw4]
-            s = jnp.concatenate(
-                [((s32 >> (8 * k)) & 255).astype(jnp.float32) for k in range(4)],
+        def rows(ch, rows_):
+            # Align the PACKED window with cyclic rolls (4 bytes/lane ==
+            # cheap), slice to the consumed span, then unpack into
+            # deinterleaved byte planes: post-roll natural column 4a + p is
+            # byte p (little-endian) of packed lane a.  (The roll's byte
+            # residue is absorbed into the horizontal residuals on the
+            # host, so no per-tile plane reorder is needed.)
+            p32 = s_u8[slot, ch, 0:rh, 0:rw4]
+            p32 = pltpu.roll(p32, shift=shifty, axis=0)
+            p32 = p32[0:rows_, :]
+            p32 = pltpu.roll(p32, shift=qx_shift, axis=1)
+            p32 = p32[:, 0:nat4]
+            return jnp.concatenate(
+                [((p32 >> (8 * k)) & 255).astype(jnp.float32) for k in range(4)],
                 axis=1,
-            )  # (rh, rw) perm-order
-            return pltpu.roll(s, shift=shifty, axis=0)
+            )  # (rows_, nat)
+
+        # Rows actually consumed by the vertical MAC, per bucket (multiple
+        # of 8 for sublane alignment).
+        rows0 = min(-(-(TH + dy) // 8) * 8, rh)
+        rows1 = min(-(-(TH + dy1) // 8) * 8, rh)
 
         def tame_body():
-            resample(rows, yres_ref[0, 0], lxres_ref[0, 0], dy, dx, rw)
+            resample(rows, yres_ref[0, 0], lxres_ref[0, 0], dy, dx, rows0)
 
         if has_wild:
             @pl.when(~my_wild)
@@ -656,7 +683,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
 
             @pl.when(my_wild)
             def _():
-                resample(rows, wyres_ref[0], wlxres_ref[0], dy1, dx1, rw1)
+                resample(rows, wyres_ref[0], wlxres_ref[0], dy1, dx1, rows1)
         else:
             tame_body()
 
@@ -680,6 +707,7 @@ class _PlanDims:
     pad_y: int
     padded_w: int
     padded_h: int
+    nat: int
     dy: int
     dx: int
     rh: int
@@ -720,7 +748,7 @@ class PallasPreprocessor:
         self._wlxres = jnp.asarray(_perm_lanes(p.wild_lxres))
         self._dims = _PlanDims(
             width=p.width, height=p.height, pad_x=p.pad_x, pad_y=p.pad_y,
-            padded_w=p.padded_w, padded_h=p.padded_h, dy=p.dy, dx=p.dx,
+            padded_w=p.padded_w, padded_h=p.padded_h, nat=p.nat, dy=p.dy, dx=p.dx,
             rh=p.rh, rw=p.rw, dy1=p.dy1, dx1=p.dx1, rh1=p.rh1, rw1=p.rw1,
             nwild=len(p.wild_yx),
         )
@@ -769,9 +797,9 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
         # stay resident across the batch instead of re-streaming per frame.
         grid=(nty, ntx, bsz),
         in_specs=[
-            pl.BlockSpec((1, 1, TH, dims.rw), lambda i, j, b, tab: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, TH, dims.nat), lambda i, j, b, tab: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, TH, TW), lambda i, j, b, tab: (i, j, 0, 0)),
-            pl.BlockSpec((1, TH, dims.rw1), wild_idx),
+            pl.BlockSpec((1, TH, dims.nat), wild_idx),
             pl.BlockSpec((1, TH, TW), wild_idx),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

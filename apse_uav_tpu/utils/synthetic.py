@@ -150,6 +150,112 @@ def render_scene(
     return np.repeat(img[..., None], 3, axis=-1)
 
 
+class SceneRenderer:
+    """Fast multi-frame renderer for a fixed camera: the expensive lens
+    inversion and the static asphalt base render once; each frame only
+    re-renders the vehicle patches (local bounding slices).
+
+    Produces frames identical to :func:`render_scene` for the same specs.
+    """
+
+    def __init__(self, mtx, dist, size_wh, altitude=40.0, cam_yaw_deg=0.0,
+                 supersample=2, distorted=True):
+        w, h = size_wh
+        ss = supersample
+        self.size_wh = size_wh
+        self.ss = ss
+        self.altitude = altitude
+        fx, fy = mtx[0, 0], mtx[1, 1]
+        cx, cy = mtx[0, 2], mtx[1, 2]
+        u = (np.arange(w * ss) + 0.5) / ss - 0.5
+        v = (np.arange(h * ss) + 0.5) / ss - 0.5
+        uu, vv = np.meshgrid(u, v)
+        if distorted:
+            x_n, y_n = _undistort_numpy((uu - cx) / fx, (vv - cy) / fy, dist, num_iters=25)
+        else:
+            x_n = (uu - cx) / fx
+            y_n = (vv - cy) / fy
+        cy_r, sy_r = np.cos(np.radians(cam_yaw_deg)), np.sin(np.radians(cam_yaw_deg))
+        self.xw = (altitude * (cy_r * x_n - sy_r * y_n)).astype(np.float32)
+        self.yw = (altitude * (sy_r * x_n + cy_r * y_n)).astype(np.float32)
+        base = np.full(self.xw.shape, ASPHALT, dtype=np.float32)
+        base += (8.0 * np.sin(self.xw * 1.7) * np.cos(self.yw * 2.3)).astype(np.float32)
+        self.base = base
+        # Coarse per-block world extents: locating a vehicle's pixel slice
+        # is then a scan over ~2k blocks instead of the 33M-px grid.
+        B = 128
+        gh, gw = self.xw.shape
+        ph, pw = -gh % B, -gw % B
+        def blockify(a, red):
+            ap = np.pad(a, ((0, ph), (0, pw)), constant_values=np.nan)
+            ap = ap.reshape((gh + ph) // B, B, (gw + pw) // B, B)
+            return red(ap, axis=(1, 3))
+        self._B = B
+        self._bx_min = blockify(self.xw, np.nanmin)
+        self._bx_max = blockify(self.xw, np.nanmax)
+        self._by_min = blockify(self.yw, np.nanmin)
+        self._by_max = blockify(self.yw, np.nanmax)
+
+    def _world_bbox_slice(self, spec: MarkerSpec, margin: float = 1.0):
+        """Supersampled-pixel slice covering the vehicle's world extent."""
+        rw_, rl = spec.roof_halfsize
+        r = float(np.hypot(rw_, rl)) + margin
+        mx0, my0 = spec.center_xy
+        hit = (
+            (self._bx_min <= mx0 + r) & (self._bx_max >= mx0 - r)
+            & (self._by_min <= my0 + r) & (self._by_max >= my0 - r)
+        )
+        ys, xs = np.nonzero(hit.any(axis=1))[0], np.nonzero(hit.any(axis=0))[0]
+        if len(ys) == 0 or len(xs) == 0:
+            return None
+        B = self._B
+        gh, gw = self.xw.shape
+        return (
+            slice(ys[0] * B, min((ys[-1] + 1) * B, gh)),
+            slice(xs[0] * B, min((xs[-1] + 1) * B, gw)),
+        )
+
+    def render(self, markers: list[MarkerSpec]) -> np.ndarray:
+        img = self.base.copy()
+        for spec in markers:
+            sl = self._world_bbox_slice(spec)
+            if sl is None:
+                continue
+            sy, sx = sl
+            xw = self.xw[sy, sx]
+            yw = self.yw[sy, sx]
+            mx0, my0 = spec.center_xy
+            yaw = np.radians(spec.yaw_deg)
+            c, s = np.cos(yaw), np.sin(yaw)
+            lx = c * (xw - mx0) + s * (yw - my0)
+            ly = -s * (xw - mx0) + c * (yw - my0)
+            patch = img[sy, sx]
+            rw_, rl = spec.roof_halfsize
+            roof = (np.abs(lx) <= rw_) & (np.abs(ly) <= rl)
+            patch[roof] = ROOF
+            half = MARKER_LEN / 2.0
+            inside = (np.abs(lx) <= half) & (np.abs(ly) <= half)
+            with np.errstate(invalid="ignore"):
+                gx = np.clip(np.nan_to_num((lx + half) / MARKER_LEN * 6).astype(np.int64), 0, 5)
+                gy = np.clip(np.nan_to_num((ly + half) / MARKER_LEN * 6).astype(np.int64), 0, 5)
+            pattern = marker_image(spec.marker_id)
+            vals = np.where(pattern[gy, gx] > 127, MARKER_WHITE, MARKER_BLACK)
+            patch[inside] = vals[inside]
+            if spec.leds is not None:
+                for j in range(8):
+                    ox, oy = LED_OFFSETS[j]
+                    on = (spec.leds >> (7 - j)) & 1
+                    d2 = (lx - ox) ** 2 + (ly + oy) ** 2
+                    led = d2 <= 0.06**2
+                    patch[led] = LED_ON if on else LED_OFF
+            img[sy, sx] = patch
+        h, w = self.size_wh[1], self.size_wh[0]
+        ss = self.ss
+        out = img.reshape(h, ss, w, ss).mean(axis=(1, 3))
+        out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+        return np.repeat(out[..., None], 3, axis=-1)
+
+
 def marker_world_corners(spec: MarkerSpec) -> np.ndarray:
     """World coords of the marker's 4 corners, in OpenCV detection order
     (top-left, top-right, bottom-right, bottom-left of the canonical marker).
