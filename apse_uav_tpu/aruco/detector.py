@@ -186,10 +186,13 @@ def _proposals(gray: Array, p: DetectorParams):
     gsz = 2048
     padn = (-flat.shape[0]) % gsz
     groups = jnp.pad(flat, (0, padn), constant_values=-1.0).reshape(-1, gsz)
-    _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
-    sub = groups[gidx]  # (k, gsz) — small gather, nothing like the full sort
-    vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
-    idx = gidx[sidx // gsz] * gsz + sidx % gsz
+    if groups.shape[0] < k:  # small frames: the flat sort is already cheap
+        vals, idx = jax.lax.top_k(flat, k)
+    else:
+        _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
+        sub = groups[gidx]  # (k, gsz) — small gather, nothing like the full sort
+        vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
+        idx = gidx[sidx // gsz] * gsz + sidx % gsz
     si = idx // (ny * nx)
     rem = idx % (ny * nx)
     iy = rem // nx

@@ -1,5 +1,6 @@
 """ArUco detector parity tests vs cv2.aruco on synthetic scenes."""
 
+import os
 import cv2
 import numpy as np
 import jax.numpy as jnp
@@ -15,7 +16,7 @@ W, H = 960, 544
 
 @pytest.fixture(scope="module")
 def cam():
-    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx, dist = camera.load_camera_params(os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json"))
     ms = mtx.copy()
     ms[0] *= W / 3840.0
     ms[1] *= H / 2160.0

@@ -24,7 +24,7 @@ LEDS = 0b10110010
 
 @pytest.fixture(scope="module")
 def cam():
-    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx, dist = camera.load_camera_params(os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json"))
     ms = mtx.copy()
     ms[0] *= W / 3840.0
     ms[1] *= H / 2160.0

@@ -12,6 +12,10 @@ from apse_uav_tpu.dcnn.engines import RcnnTracker, SelectivePredictor, TrackPred
 from apse_uav_tpu.dcnn.models.association import AssociationHead
 from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def setup():

@@ -10,6 +10,10 @@ import pytest
 from apse_uav_tpu.dcnn.config import ModelConfig, ROIConfig, RPNConfig, mask_rcnn_r50_fpn
 from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():

@@ -4,6 +4,8 @@ Runs the kernel in Pallas interpret mode on CPU; the same kernel is compiled
 for TPU at runtime (verified on hardware via bench.py / the verify recipe).
 """
 
+import os
+
 import cv2
 import numpy as np
 import jax.numpy as jnp
@@ -11,9 +13,13 @@ import jax.numpy as jnp
 from apse_uav_tpu.core import camera
 from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _scaled_cam(w, h):
-    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx, dist = camera.load_camera_params(os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json"))
     mtx = mtx.copy()
     mtx[0] *= w / 3840.0
     mtx[1] *= h / 2160.0

@@ -1,5 +1,6 @@
 """Sharding helpers on the 8-device virtual CPU mesh."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -71,7 +72,7 @@ def test_aruco_front_sharded_over_frames():
     from apse_uav_tpu.parallel.mesh import shard_map_batch
 
     W, H = 256, 128
-    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx, dist = camera.load_camera_params(os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json"))
     ms = mtx.copy()
     ms[0] *= W / 3840.0
     ms[1] *= H / 2160.0

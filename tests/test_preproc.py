@@ -1,5 +1,6 @@
 """Golden tests: remap + full preprocessing vs OpenCV."""
 
+import os
 import cv2
 import numpy as np
 import jax.numpy as jnp
@@ -11,7 +12,7 @@ RNG = np.random.default_rng(3)
 
 
 def _cam_scaled(w, h):
-    mtx, dist = camera.load_camera_params("/root/reference/data/cam_params.json")
+    mtx, dist = camera.load_camera_params(os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json"))
     mtx = mtx.copy()
     mtx[0] *= w / 3840.0
     mtx[1] *= h / 2160.0

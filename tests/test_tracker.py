@@ -12,6 +12,10 @@ from apse_uav_tpu.dcnn.models.association import AssociationHead
 from apse_uav_tpu.dcnn.structures import init_track_state
 from apse_uav_tpu.dcnn.tracker import tracker_step
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 H, W = 128, 160
 C = 8
 D = 6  # detection capacity

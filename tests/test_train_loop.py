@@ -8,6 +8,10 @@ import pytest
 
 from apse_uav_tpu.dcnn.config import mask_rcnn_r50_fpn
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg():
     cfg = mask_rcnn_r50_fpn(num_classes=2)
