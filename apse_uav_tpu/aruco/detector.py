@@ -104,26 +104,39 @@ def _proposals(gray: Array, p: DetectorParams):
     ny, nx = h4, w4
     scores = []
     metas = []
+    sqrt2 = 1.41421356
     for s in p.scales:
         s = int(s)
         ring = int(round(s * 1.8))
         if ring >= min(h, w):
             continue
-        sc_ = max(s // st, 1)  # coarse box side
-        ring_c_sz = max(int(round(ring / st)), sc_ + 1)
-        n_y_i, n_x_i = h4 - sc_ + 1, w4 - sc_ + 1
-        n_y_r, n_x_r = h4 - ring_c_sz + 1, w4 - ring_c_sz + 1
-        inner_m = _box_sum_unit(ii, n_y_i, n_x_i, sc_, sc_) / float(sc_ * sc_)
-        ring_m = _box_sum_unit(ii, n_y_r, n_x_r, ring_c_sz, ring_c_sz) / float(ring_c_sz * ring_c_sz)
-        # Align: inner box centred inside ring box -> offset (ring-s)//2.
-        off = (ring_c_sz - sc_) // 2
-        n_y = min(n_y_i - 2 * off if off else n_y_i, n_y_r)
-        n_x = min(n_x_i - 2 * off if off else n_x_i, n_x_r)
-        inner_c = inner_m[off : off + n_y, off : off + n_x]
-        ring_c = ring_m[:n_y, :n_x]
-        ring_area = float(ring_c_sz * ring_c_sz)
-        inner_area = float(sc_ * sc_)
-        outer_mean = (ring_c * ring_area - inner_c * inner_area) / (ring_area - inner_area)
+        # ROTATION-ROBUST boxes: inner box of side s (captures the marker's
+        # black border at any yaw — the inscribed square would miss it for
+        # white-heavy codes); the outer ring starts at the CIRCUMSCRIBED
+        # square (s*sqrt2), outside the marker at ANY yaw.  (Starting the
+        # ring at s leaked the rotated marker's dark corners into the
+        # "bright surround", shifting the best-scoring scale to a
+        # sub-pattern size and breaking quad extraction downstream.)
+        sc_in = max(s // st, 1)
+        sc_mid = max(int(round(s * sqrt2 / st)), sc_in + 1)
+        sc_ring = max(int(round(ring / st)), sc_mid + 1)
+        n_y_i, n_x_i = h4 - sc_in + 1, w4 - sc_in + 1
+        n_y_m, n_x_m = h4 - sc_mid + 1, w4 - sc_mid + 1
+        n_y_r, n_x_r = h4 - sc_ring + 1, w4 - sc_ring + 1
+        inner_m = _box_sum_unit(ii, n_y_i, n_x_i, sc_in, sc_in) / float(sc_in * sc_in)
+        mid_sum = _box_sum_unit(ii, n_y_m, n_x_m, sc_mid, sc_mid)
+        ring_sum = _box_sum_unit(ii, n_y_r, n_x_r, sc_ring, sc_ring)
+        # Centre-align all three boxes on the ring-box grid.
+        off_in = (sc_ring - sc_in) // 2
+        off_mid = (sc_ring - sc_mid) // 2
+        n_y = min(n_y_r, n_y_i - 2 * off_in if off_in else n_y_i, n_y_m - 2 * off_mid if off_mid else n_y_m)
+        n_x = min(n_x_r, n_x_i - 2 * off_in if off_in else n_x_i, n_x_m - 2 * off_mid if off_mid else n_x_m)
+        inner_c = inner_m[off_in : off_in + n_y, off_in : off_in + n_x]
+        mid_c = mid_sum[off_mid : off_mid + n_y, off_mid : off_mid + n_x]
+        ring_c = ring_sum[:n_y, :n_x]
+        ring_area = float(sc_ring * sc_ring)
+        mid_area = float(sc_mid * sc_mid)
+        outer_mean = (ring_c - mid_c) / (ring_area - mid_area)
         contrast = jnp.maximum(outer_mean - inner_c, 0.0)
         # Score: dark inner vs bright surround, contrast-gated.
         sc = jnp.where(contrast >= p.min_white_black_diff, contrast / 255.0, 0.0)
@@ -131,7 +144,8 @@ def _proposals(gray: Array, p: DetectorParams):
         sc_full = jnp.zeros((ny, nx), jnp.float32)
         sc_full = jax.lax.dynamic_update_slice(sc_full, sc, (0, 0))
         scores.append(sc_full)
-        metas.append((sc_ * st, off * st))
+        # Candidate centre on this grid: ring-box origin + ring/2.
+        metas.append((s, off_in * st + sc_in * st / 2.0))
     stack = jnp.stack(scores)  # (S, ny, nx)
 
     # Scale-proportional non-max suppression: dilate each scale's score map
@@ -199,9 +213,9 @@ def _proposals(gray: Array, p: DetectorParams):
     ix = rem % nx
     sizes = jnp.asarray([m[0] for m in metas], jnp.float32)[si]
     offs = jnp.asarray([m[1] for m in metas], jnp.float32)[si]
-    # Candidate centre in image coords: box origin + s/2 (+ scale offset).
-    cy = iy.astype(jnp.float32) * st + offs + sizes / 2.0
-    cx = ix.astype(jnp.float32) * st + offs + sizes / 2.0
+    # Candidate centre in image coords: grid origin + centred-box offset.
+    cy = iy.astype(jnp.float32) * st + offs
+    cx = ix.astype(jnp.float32) * st + offs
     valid = vals > p.score_threshold
     return jnp.stack([cy, cx], axis=-1), sizes, vals, valid
 

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Detect+track engine breakdown on the real TPU (VERDICT r1, weak #5).
+
+Times, per frame at the 4K tracker scale: detector inference, detection
+embeddings (ROI features + association head), the association scan
+(Hungarian + track-state update), and the full engine.
+
+Usage: python scripts/bench_track.py [stage ...]
+Stages: detect embed scan engine  (default: all)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+REPO = __file__.rsplit("/scripts/", 1)[0]
+sys.path.insert(0, REPO)
+
+
+def timed(fn, arg, iters=8, warmup=2):
+    for _ in range(warmup):
+        arg = fn(arg)
+    _ = float(np.asarray(arg).reshape(-1)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        arg = fn(arg)
+    _ = float(np.asarray(arg).reshape(-1)[0])
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from apse_uav_tpu.dcnn import structures, tracker as T
+    from apse_uav_tpu.dcnn.config import TrackerConfig, uav_tracker_config
+    from apse_uav_tpu.dcnn.models.association import AssociationHead
+    from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+    from apse_uav_tpu.dcnn.engines import TrackPredictor
+
+    stages = sys.argv[1:] or ["detect", "embed", "scan", "engine"]
+    on_tpu = jax.devices()[0].platform == "tpu"
+    print("platform:", jax.devices()[0].platform)
+    orig_hw = (2160, 3840) if on_tpu else (432, 768)
+    batch = 8 if on_tpu else 2
+
+    cfg = uav_tracker_config(num_classes=4)
+    cfg = dataclasses.replace(cfg, depth=50)
+    tcfg = TrackerConfig()
+    model = MaskRCNN(cfg=cfg)
+    rng = np.random.default_rng(0)
+    params = jax.jit(
+        lambda r: model.init(r, jnp.zeros((1, 64, 64, 3)), mode="inference")["params"]
+    )(jax.random.PRNGKey(0))
+    predictor = TrackPredictor(cfg, params, orig_hw)
+    head = AssociationHead(embedding_dim=tcfg.embedding_dim)
+    assoc_params = head.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, cfg.fpn_channels, tcfg.roi_size, tcfg.roi_size))
+    )["params"]
+
+    frames = jnp.asarray(rng.integers(0, 255, (batch, *orig_hw, 3), dtype=np.uint8))
+    dets0, feats0 = predictor(frames)
+    p2 = feats0["p2"]
+    state0 = structures.init_track_state(tcfg.max_tracks, tcfg.embedding_dim)
+
+    def report(name, dt):
+        print(f"{name:10s} {dt / batch * 1e3:7.2f} ms/frame")
+
+    if "detect" in stages:
+        @jax.jit
+        def s_det(fr):
+            d, f = predictor._infer_impl(predictor.params, fr)
+            bump = (d["scores"].sum()).astype(jnp.uint8) | jnp.uint8(1)
+            return fr + bump
+        report("detect", timed(s_det, frames))
+
+    # Cap detections the way tracker_step does.
+    det_c = dets0
+    if det_c["valid"].shape[1] > tcfg.max_detections:
+        k = tcfg.max_detections
+        _, top = jax.lax.top_k(jnp.where(det_c["valid"], det_c["scores"], -jnp.inf), k)
+        det_c = {key: jnp.take_along_axis(v, top.reshape(batch, k, *([1] * (v.ndim - 2))), axis=1)
+                 if v.ndim > 2 else jnp.take_along_axis(v, top, axis=1)
+                 for key, v in det_c.items()}
+
+    if "embed" in stages:
+        @jax.jit
+        def s_emb(x):
+            def one(det_i, f_i):
+                return T.detection_embeddings(
+                    assoc_params, f_i, det_i, orig_hw, tcfg.roi_size,
+                    embedding_dim=tcfg.embedding_dim,
+                )
+            emb = jax.vmap(one)(det_c, x)
+            return x + (emb.sum()).astype(x.dtype)
+        report("embed", timed(s_emb, p2))
+
+    if "scan" in stages:
+        @jax.jit
+        def s_scan(x):
+            def step(s, xs):
+                det, f = xs
+                return T.tracker_step(s, det, f, assoc_params, tcfg, orig_hw)
+            _, recents = jax.lax.scan(step, state0, (dets0, x))
+            return x + recents["boxes"].sum().astype(x.dtype)
+        report("scan", timed(s_scan, p2))
+
+    if "engine" in stages:
+        @jax.jit
+        def s_all(fr):
+            d, f = predictor._infer_impl(predictor.params, fr)
+            def step(s, xs):
+                det, ff = xs
+                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
+            _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
+            return fr + (recents["boxes"].sum()).astype(jnp.uint8)
+        report("engine", timed(s_all, frames))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,10 @@ if not hasattr(_aruco, "Dictionary_get"):
 if not hasattr(_aruco, "detectMarkers"):
     def _detect_markers(image, dictionary, parameters=None, cameraMatrix=None, distCoeff=None):
         det = _aruco.ArucoDetector(dictionary, parameters or _aruco.DetectorParameters())
-        return det.detectMarkers(image)
+        corners, ids, rej = det.detectMarkers(image)
+        if ids is not None:
+            ids = _np.asarray(ids).reshape(-1, 1)  # 4.x shape (N, 1)
+        return corners, ids, rej
     _aruco.detectMarkers = _detect_markers
 if not hasattr(_aruco, "estimatePoseSingleMarkers"):
     def _estimate_pose(corners, marker_length, mtx, dist):

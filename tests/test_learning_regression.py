@@ -1,0 +1,92 @@
+"""Committed learning-quality regression (VERDICT r1, weak #4).
+
+A seeded small fine-tune on synthetic scenes must reach a fixed AP50 on
+held-out scenes within a fixed iteration budget — guarding the whole
+optimization stack (RPN/ROI matching + sampling, losses, warmup SGD,
+gradient flow) against silent regressions, not just "the machinery runs".
+
+Mirrors the reference detector fine-tune regime (finetune_uav.py:87-97:
+mask head OFF, backbone frozen, RPN + ROI heads train).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _cfg():
+    from apse_uav_tpu.dcnn.config import mask_rcnn_r50_fpn
+
+    cfg = mask_rcnn_r50_fpn(num_classes=2)
+    return dataclasses.replace(
+        cfg,
+        mask_on=False,  # reference fine-tune regime; avoids conv-backward cost
+        rpn=dataclasses.replace(
+            cfg.rpn, pre_nms_topk_test=128, post_nms_topk_test=64,
+            pre_nms_topk_train=128, post_nms_topk_train=64, batch_size_per_image=64,
+        ),
+        roi=dataclasses.replace(
+            cfg.roi, num_classes=2, detections_per_image=16, batch_size_per_image=32,
+            score_thresh_test=0.3,
+        ),
+    )
+
+
+def _scene_batches(b=2, hw=(96, 96), g=4, seed=0):
+    """Learnable 2-class scenes: class 0 = bright squares, class 1 = dark
+    rings on a textured mid-gray background."""
+    rng = np.random.default_rng(seed)
+    h, w = hw
+    yy, xx = np.mgrid[0:h, 0:w]
+    while True:
+        images = (
+            128 + 14 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+            + rng.normal(0, 6, (b, h, w, 1))
+        ).astype(np.float32)
+        images = np.repeat(images, 3, axis=-1) if images.shape[-1] == 1 else images
+        gt = {
+            "boxes": np.zeros((b, g, 4), np.float32),
+            "classes": np.zeros((b, g), np.int32),
+            "valid": np.zeros((b, g), bool),
+        }
+        for i in range(b):
+            n = int(rng.integers(1, 3))
+            for j in range(n):
+                s = int(rng.integers(14, 26))
+                x = int(rng.integers(2, w - s - 2))
+                y = int(rng.integers(2, h - s - 2))
+                cls = int(rng.integers(0, 2))
+                if cls == 0:
+                    images[i, y : y + s, x : x + s] = 245.0
+                else:
+                    images[i, y : y + s, x : x + s] = 25.0
+                    images[i, y + s // 4 : y + s - s // 4, x + s // 4 : x + s - s // 4] = 128.0
+                gt["boxes"][i, j] = [x, y, x + s, y + s]
+                gt["classes"][i, j] = cls
+                gt["valid"][i, j] = True
+        yield images, gt
+
+
+def test_detector_learns_to_ap50(tmp_path):
+    """Seeded fine-tune reaches AP50 >= 0.7 within 150 iterations."""
+    from apse_uav_tpu.train.loop import evaluate_detector, finetune_detector
+    from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+
+    cfg = _cfg()
+    eval_batches = [next(_scene_batches(seed=1000 + i)) for i in range(4)]
+    params = finetune_detector(
+        cfg,
+        _scene_batches(seed=0),
+        lambda: eval_batches,
+        str(tmp_path),
+        max_iter=150,
+        test_period=150,  # single eval at the end (the loop evals inline)
+        lr=0.02,
+        seed=0,
+        log_fn=lambda s: None,
+    )
+    stats = evaluate_detector(MaskRCNN(cfg=cfg), params, eval_batches)
+    assert stats["AP50"] >= 0.7, stats
