@@ -6,6 +6,10 @@ annotated frame.  This CLI is the headless equivalent: same 3-class no-mask
 defaults, annotated copies written next to the inputs (detector_test with
 aerial defaults).
 
+Note: ``--no_mask`` is FORCED on by default to match the reference's aerial
+regime (its model has no mask head).  To run with a mask head, pass
+``--with_mask`` explicitly.
+
 Usage:
     python -m apse_uav_tpu.cli.aerial_view_test \
         --images test_images/ --weights aerial_frcnn.pth
@@ -26,7 +30,11 @@ def main(argv=None) -> int:
         argv += ["--num_classes", "3"]
     if "--depth" not in argv:
         argv += ["--depth", "50"]
-    if "--no_mask" not in argv:
+    # --no_mask is a store_true flag downstream, so forcing it on would make
+    # it impossible to enable the mask head; --with_mask opts back out.
+    if "--with_mask" in argv:
+        argv.remove("--with_mask")
+    elif "--no_mask" not in argv:
         argv.append("--no_mask")
     return detector_test.main(argv)
 

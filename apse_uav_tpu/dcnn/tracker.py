@@ -32,7 +32,11 @@ from apse_uav_tpu.dcnn import structures
 
 Array = jax.Array
 
-_BIG = 1e7
+# Gating pad for argmin masks.  Deliberately distinct from the Hungarian
+# solver's pad (hungarian_mod._BIG = 1e4): the solver needs a pad small
+# enough that f32 ULP stays below sub-unit cost differences on augmenting
+# paths, while the argmin mask just needs "farther than anything real".
+_FAR_SQ = 1e7
 
 
 def paste_mask_lowres(mask_rr: Array, box: Array, grid_hw: tuple[int, int], image_hw: tuple[int, int]) -> Array:
@@ -149,8 +153,8 @@ def associate_embeddings(
     n = max(cap, d_cap)
     diffs = state["embeddings"][:, None, :] - embeddings[None, :, :]
     dist = jnp.sum(diffs * diffs, axis=-1)  # (T, D)
-    # Pad with the solver's finite pad value (NOT _BIG=1e7: f32 ULP there is
-    # 1.0, which erases sub-unit cost differences in augmenting paths).
+    # Pad with the solver's finite pad value (NOT _FAR_SQ=1e7: f32 ULP there
+    # is 1.0, which erases sub-unit cost differences in augmenting paths).
     cost = jnp.full((n, n), hungarian_mod._BIG, jnp.float32)
     cost = cost.at[:cap, :d_cap].set(
         pad_cost(dist, state["active"], det["valid"])
@@ -182,7 +186,7 @@ def associate_center_dist(state, det, embeddings, threshold_sq):
     det_c = (det["boxes"][:, :2] + det["boxes"][:, 2:]) / 2.0
     trk_c = (state["boxes"][:, :2] + state["boxes"][:, 2:]) / 2.0
     d2 = jnp.sum((trk_c[:, None] - det_c[None]) ** 2, axis=-1)  # (T, D)
-    d2 = jnp.where(state["active"][:, None], d2, _BIG)
+    d2 = jnp.where(state["active"][:, None], d2, _FAR_SQ)
     nearest = jnp.argmin(d2, axis=0)  # per detection
     ok = jnp.take_along_axis(d2, nearest[None], axis=0)[0] < threshold_sq
     is_matched = det["valid"] & ok

@@ -43,10 +43,11 @@ def _scene_batches(b=2, hw=(96, 96), g=4, seed=0):
     yy, xx = np.mgrid[0:h, 0:w]
     while True:
         images = (
-            128 + 14 * np.sin(xx / 7.0) * np.cos(yy / 5.0)
+            128 + 14 * (np.sin(xx / 7.0) * np.cos(yy / 5.0))[None, :, :, None]
             + rng.normal(0, 6, (b, h, w, 1))
         ).astype(np.float32)
-        images = np.repeat(images, 3, axis=-1) if images.shape[-1] == 1 else images
+        assert images.shape == (b, h, w, 1)
+        images = np.repeat(images, 3, axis=-1)
         gt = {
             "boxes": np.zeros((b, g, 4), np.float32),
             "classes": np.zeros((b, g), np.int32),
