@@ -42,7 +42,12 @@ Array = jax.Array
 class DetectorParams:
     """Tuned to mirror the reference's detector configuration."""
 
-    max_candidates: int = 32  # K candidate slots per frame
+    # Candidate budget is PER SCALE (top `per_scale_k` local maxima of each
+    # scale's score map), not one global top-K: every marker competes only
+    # against same-size blobs, so the flood of 8-16 px sub-pattern responses
+    # that markers' own interiors generate cannot crowd a genuine 40 px quad
+    # out of the candidate set (the round-2 veh2 recall flap).
+    per_scale_k: int = 6
     max_line_fit_mse: float = 1.5  # aprilTagMaxLineFitMse spirit (px^2)
     # Marker side in px; multiples of proposal_stride so the pooled-grid box
     # sums are exact (non-multiples get quantized by the pooling).
@@ -190,29 +195,31 @@ def _proposals(gray: Array, p: DetectorParams):
         for si in range(ns)
     ]
     is_max = (stack >= jnp.stack(cross)) & (stack > p.score_threshold)
-    flat = jnp.where(is_max, stack, 0.0).reshape(-1)
-    # Hierarchical top-K: a global sort of the S*ny*nx (~5M) score vector is
-    # ~2 ms on v5e.  Group-max -> top-K groups -> top-K within those groups
-    # is exact: any group holding a true top-K element has group-max >= that
-    # element, and K groups ranked above it would each contribute a larger
-    # element, contradicting its top-K membership.
-    k = p.max_candidates
+    # Per-scale hierarchical top-k (group-max -> top-k groups -> top-k within,
+    # exact: any group holding a true top-k element has group-max >= it, and k
+    # higher-ranked groups would each contribute a larger element).  A global
+    # sort of the S*ny*nx (~5M) score vector is ~2 ms on v5e; this is a few
+    # (S, G)-sized sorts plus a small gather.
+    k = p.per_scale_k
+    ns_total = stack.shape[0]
+    flat_s = jnp.where(is_max, stack, 0.0).reshape(ns_total, -1)
     gsz = 2048
-    padn = (-flat.shape[0]) % gsz
-    groups = jnp.pad(flat, (0, padn), constant_values=-1.0).reshape(-1, gsz)
-    if groups.shape[0] < k:  # small frames: the flat sort is already cheap
-        vals, idx = jax.lax.top_k(flat, k)
+    padn = (-flat_s.shape[1]) % gsz
+    groups = jnp.pad(flat_s, ((0, 0), (0, padn)), constant_values=-1.0).reshape(
+        ns_total, -1, gsz
+    )
+    if groups.shape[1] < k:  # small frames: the per-scale flat sort is cheap
+        vals, idx = jax.lax.top_k(flat_s, k)  # (S, k)
     else:
-        _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
-        sub = groups[gidx]  # (k, gsz) — small gather, nothing like the full sort
-        vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
-        idx = gidx[sidx // gsz] * gsz + sidx % gsz
-    si = idx // (ny * nx)
-    rem = idx % (ny * nx)
-    iy = rem // nx
-    ix = rem % nx
-    sizes = jnp.asarray([m[0] for m in metas], jnp.float32)[si]
-    offs = jnp.asarray([m[1] for m in metas], jnp.float32)[si]
+        _, gidx = jax.lax.top_k(jnp.max(groups, axis=2), k)  # (S, k)
+        sub = jnp.take_along_axis(groups, gidx[:, :, None], axis=1)  # (S, k, gsz)
+        vals, sidx = jax.lax.top_k(sub.reshape(ns_total, -1), k)
+        idx = jnp.take_along_axis(gidx, sidx // gsz, axis=1) * gsz + sidx % gsz
+    iy = (idx // nx).reshape(-1)
+    ix = (idx % nx).reshape(-1)
+    vals = vals.reshape(-1)
+    sizes = jnp.repeat(jnp.asarray([m[0] for m in metas], jnp.float32), k)
+    offs = jnp.repeat(jnp.asarray([m[1] for m in metas], jnp.float32), k)
     # Candidate centre in image coords: grid origin + centred-box offset.
     cy = iy.astype(jnp.float32) * st + offs
     cx = ix.astype(jnp.float32) * st + offs
@@ -657,7 +664,7 @@ class ArucoDetector:
         # Dedup overlapping candidates.  Sub-patterns inside a marker can
         # decode (with corrections) at small scales, so prefer the larger
         # quad, then the cleaner dictionary match, then the proposal score.
-        k = p.max_candidates
+        k = int(corners.shape[0])
         cen = jnp.mean(corners, axis=1)  # (K, 2)
         d2 = jnp.sum((cen[:, None, :] - cen[None, :, :]) ** 2, axis=-1)
         radius2 = (jnp.maximum(sides[:, None], sides[None, :]) * 0.55) ** 2

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=3840)
     p.add_argument("--height", type=int, default=2160)
     p.add_argument("--xla_preproc", action="store_true", help="use the XLA (non-Pallas) preprocessing path")
+    p.add_argument("--force_cpu", action="store_true",
+                   help="run on the host CPU backend (the JAX_PLATFORMS env "
+                        "var is ignored when a site override pre-registers an "
+                        "accelerator; this flips the platform in-process)")
     return p
 
 
@@ -130,6 +134,10 @@ def main(argv=None) -> int:
         print("error: choose --use_images or --use_video", file=sys.stderr)
         return 2
 
+    import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from apse_uav_tpu.aruco.pipeline import ArucoPipeline, ArucoPipelineConfig, init_carry

@@ -84,6 +84,7 @@ class ResultsWriter:
             else:
                 parts += zeros5 if self.use_centroid_data else zeros3
         self._f.write(",".join(parts) + "\n")
+        self._f.flush()  # rows stream out as they're produced (long runs)
 
     def close(self) -> None:
         self._f.close()

@@ -94,7 +94,8 @@ def render_frames(workdir: str, n_frames: int, altitude: float) -> str:
     return frames_dir
 
 
-def run_reference(workdir: str, frames_dir: str, n_frames: int) -> str:
+def run_reference(workdir: str, frames_dir: str, n_frames: int,
+                  use_centroid_data: bool = False, dcnn_csv: str | None = None) -> str:
     """Patch the reference's constant block and execute it headless."""
     src = open(REFERENCE).read()
     out_csv = os.path.join(workdir, "ref.csv")
@@ -105,7 +106,7 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int) -> str:
         (r"^showImage = .*$", "showImage = False"),
         (r"^saveResults = .*$", "saveResults = True"),
         (r"^saveImages = .*$", "saveImages = False"),
-        (r"^useCentroidData = .*$", "useCentroidData = False"),
+        (r"^useCentroidData = .*$", f"useCentroidData = {use_centroid_data}"),
         (r"^N_avg = .*$", "N_avg = 1"),
         (r"^drawMarkers = .*$", "drawMarkers = False"),
         (r"^drawMarkersAxes = .*$", "drawMarkersAxes = False"),
@@ -124,6 +125,8 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int) -> str:
         (r'^    path_input_images = .*$', f'    path_input_images = {frames_dir + os.sep!r}'),
         (r'^    path_output_results = .*$', f'    path_output_results = {out_csv!r}'),
     ]
+    if use_centroid_data:
+        subs.append((r'^    path_dcnn_data = .*$', f'    path_dcnn_data = {dcnn_csv!r}'))
     for pat, rep in subs:
         src, n = re.subn(pat, rep, src, flags=re.M)
         assert n >= 1, f"reference patch failed: {pat}"
@@ -140,7 +143,8 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int) -> str:
     return out_csv
 
 
-def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool) -> str:
+def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool,
+             force_cpu: bool = False, dcnn_csv: str | None = None) -> str:
     out_csv = os.path.join(workdir, "ours.csv")
     cmd = [
         sys.executable, "-m", "apse_uav_tpu.cli.aruco_detect",
@@ -149,8 +153,12 @@ def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool) ->
         "--save_results", "--path_output_results", out_csv,
         "--stop_frame", str(n_frames),
     ]
+    if dcnn_csv is not None:
+        cmd += ["--use_centroid_data", "--path_dcnn_data", dcnn_csv]
     if xla_preproc:
         cmd.append("--xla_preproc")
+    if force_cpu:
+        cmd.append("--force_cpu")
     print("[parity] running TPU pipeline CLI...", flush=True)
     res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True, timeout=3600)
     if res.returncode != 0:
@@ -160,42 +168,49 @@ def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool) ->
     return out_csv
 
 
-def read_results(path: str) -> np.ndarray:
+def read_results(path: str, ncols: int = 16) -> np.ndarray:
     rows = []
     with open(path) as f:
         next(f)  # header
         for line in f:
             parts = [p.strip() for p in line.strip().split(",")]
-            if len(parts) < 16 or parts[0] == "":
+            if len(parts) < ncols or parts[0] == "":
                 continue
-            rows.append([float(p) if p not in ("", "nan") else np.nan for p in parts[:16]])
+            rows.append([float(p) if p not in ("", "nan") else np.nan for p in parts[:ncols]])
     return np.asarray(rows)
 
 
-def compare(ref_csv: str, ours_csv: str) -> dict:
-    ref = read_results(ref_csv)
-    ours = read_results(ours_csv)
+def compare(ref_csv: str, ours_csv: str, use_centroid_data: bool = False) -> dict:
+    # 16-col schema: 0 frame, 1 id4_det, 2 markerLength, 3 leds, 4 altitude,
+    # 5 fov_w, 6 fov_h, then per vehicle v in 1..3: det, d_aruco, d_bbox
+    # (+ d_dcnn, d_dcnn_bbox in the 22-col useCentroidData schema —
+    # reference aruco_detect.py:131-139).
+    ncols = 22 if use_centroid_data else 16
+    step = 5 if use_centroid_data else 3
+    ref = read_results(ref_csv, ncols)
+    ours = read_results(ours_csv, ncols)
     n = min(len(ref), len(ours))
     ref, ours = ref[:n], ours[:n]
-    # 16-col schema: 0 frame, 1 id4_det, 2 markerLength, 3 leds, 4 altitude,
-    # 5 fov_w, 6 fov_h, 7 id1_det, 8 d1_aruco, 9 d1_bbox, 10 id2_det,
-    # 11 d2, 12 d2_bbox, 13 id3_det, 14 d3, 15 d3_bbox.
     out = {"frames": int(n)}
-    det_cols = {"host": 1, "veh1": 7, "veh2": 10, "veh3": 13}
+    det_cols = {"host": 1}
+    vcols = {}
+    for v in range(1, 4):
+        dc = 7 + (v - 1) * step
+        det_cols[f"veh{v}"] = dc
+        vcols[f"veh{v}"] = (dc, tuple(range(dc + 1, dc + step)))
     out["detection_agreement"] = {
         k: float((ref[:, c] == ours[:, c]).mean()) for k, c in det_cols.items()
     }
+    col_names = ["aruco", "bbox", "dcnn", "dcnn_bbox"]
     deltas = []
-    for name, (dc, cols) in {
-        "veh1": (7, (8, 9)), "veh2": (10, (11, 12)), "veh3": (13, (14, 15)),
-    }.items():
+    for name, (dc, cols) in vcols.items():
         both = (ref[:, 1] > 0) & (ours[:, 1] > 0) & (ref[:, dc] > 0) & (ours[:, dc] > 0)
-        for c in cols:
+        for ci, c in enumerate(cols):
             d = np.abs(ref[both, c] - ours[both, c])
             d = d[~np.isnan(d)]
             if len(d):
                 deltas.append(d)
-                out[f"delta_{name}_{'aruco' if c == cols[0] else 'bbox'}"] = {
+                out[f"delta_{name}_{col_names[ci]}"] = {
                     "max": float(d.max()), "mean": float(d.mean()), "n": int(len(d)),
                 }
     alld = np.concatenate(deltas) if deltas else np.array([np.inf])
@@ -214,6 +229,13 @@ def main():
     ap.add_argument("--workdir", default="/tmp/aruco_parity")
     ap.add_argument("--xla_preproc", action="store_true",
                     help="force the XLA preprocessing path (e.g. on CPU)")
+    ap.add_argument("--force_cpu", action="store_true",
+                    help="run our pipeline on the host CPU backend")
+    ap.add_argument("--use_centroid_data", action="store_true",
+                    help="also feed the vendored DCNN CSV to both sides and "
+                         "diff the 22-col schema (reference :105-123,131-139)")
+    ap.add_argument("--dcnn_csv",
+                    default=os.path.join(REPO, "data", "static_dcnn_data.csv"))
     ap.add_argument("--skip_render", action="store_true",
                     help="reuse frames already in workdir")
     args = ap.parse_args()
@@ -222,9 +244,12 @@ def main():
     frames_dir = os.path.join(args.workdir, "frames")
     if not args.skip_render:
         frames_dir = render_frames(args.workdir, args.frames, args.altitude)
-    ref_csv = run_reference(args.workdir, frames_dir, args.frames)
-    ours_csv = run_ours(args.workdir, frames_dir, args.frames, args.xla_preproc)
-    summary = compare(ref_csv, ours_csv)
+    dcnn_csv = args.dcnn_csv if args.use_centroid_data else None
+    ref_csv = run_reference(args.workdir, frames_dir, args.frames,
+                            args.use_centroid_data, dcnn_csv)
+    ours_csv = run_ours(args.workdir, frames_dir, args.frames, args.xla_preproc,
+                        args.force_cpu, dcnn_csv)
+    summary = compare(ref_csv, ours_csv, args.use_centroid_data)
     print(json.dumps(summary, indent=2))
     print(json.dumps({"parity_pass": summary["pass_0p1m"],
                       "distance_delta_max_m": summary["distance_delta_max"]}))
