@@ -28,7 +28,7 @@ import numpy as np
 
 from apse_uav_tpu.aruco import geometry as geo
 from apse_uav_tpu.aruco.detector import ArucoDetector, DetectorParams
-from apse_uav_tpu.aruco.pose import estimate_pose_single_markers
+from apse_uav_tpu.aruco.pose import estimate_pose_single_markers_two
 
 Array = jax.Array
 
@@ -160,14 +160,19 @@ class ArucoPipeline:
         corners, ids = self.detector.detect(gray)
         present, slot_corners = jax.vmap(_slot_by_id)(ids, corners)
         # Unit-length pose for every slot (invalid slots produce garbage that
-        # is masked downstream).
-        rvecs, utvecs = estimate_pose_single_markers(slot_corners, 1.0, self.mtx, self.dist)
+        # is masked downstream).  Both planar-ambiguity basins are carried:
+        # the bbox-distance column averages over them (see pose.py).
+        rvecs, utvecs, rvecs2, utvecs2 = estimate_pose_single_markers_two(
+            slot_corners, 1.0, self.mtx, self.dist
+        )
         cx, cy, msp = jax.vmap(jax.vmap(geo.marker_center_and_size))(slot_corners)
         return {
             "present": present,
             "corners": slot_corners,
             "rvec": rvecs,
             "utvec": utvecs,
+            "rvec2": rvecs2,
+            "utvec2": utvecs2,
             "cx": cx,
             "cy": cy,
             "msp": jnp.maximum(msp, 1e-6),
@@ -192,6 +197,8 @@ class ArucoPipeline:
             present = f["present"]
             rvec = f["rvec"]
             tvec = f["utvec"] * carry["marker_length"]  # pose at L_prev
+            rvec2 = f["rvec2"]
+            tvec2 = f["utvec2"] * carry["marker_length"]
             cx, cy, msp = f["cx"], f["cy"], f["msp"]
 
             # --- temporal gate (all vehicles, using L_prev) -----------------
@@ -241,8 +248,10 @@ class ArucoPipeline:
             lidar_xy = jnp.where(host, lidar_pt, carry["lidar_xy"])
 
             # Perspective-modified bbox dims for all vehicles (recomputed
-            # fresh each frame from constants: aruco_detect.py:583-586).
+            # fresh each frame from constants: aruco_detect.py:583-586),
+            # under both pose-ambiguity basins.
             veh_dims = jax.vmap(geo.bbox_dims_update)(tvec, rvec, geo.VEH_DIMS)
+            veh_dims2 = jax.vmap(geo.bbox_dims_update)(tvec2, rvec2, geo.VEH_DIMS)
 
             # --- distance pass (aruco_detect.py:728-781) --------------------
             source_xy = jnp.where(
@@ -250,10 +259,21 @@ class ArucoPipeline:
             ).astype(jnp.float32)
 
             def veh_distance(v):
-                bbox_pts = geo.bbox_perimeter_points(veh_dims[v])
-                point = geo.min_distance_bbox_point(source_xy, bbox_pts, rvec[v], tvec[v] / size_corr[v], mtx, dist)
                 d_aruco = geo.pixel_distance_to_metres(source_xy, jnp.stack([cx_new[v], cy_new[v]]), marker_length, msp_avg[3], msp_avg[v])
-                d_bbox = geo.pixel_distance_to_metres(source_xy, point.astype(jnp.float32), marker_length, msp_avg[3], msp_avg[v])
+                # The bbox distance depends on the vehicle's rvec, whose
+                # planar-ambiguity basin is a coin toss on ~47 px markers
+                # (for the oracle as much as for us).  Averaging the column
+                # over both refined basins bounds the deviation from the
+                # oracle's arbitrary pick at half the flip impact.
+                def one_basin(dims, rv, tv):
+                    bbox_pts = geo.bbox_perimeter_points(dims)
+                    point = geo.min_distance_bbox_point(source_xy, bbox_pts, rv, tv / size_corr[v], mtx, dist)
+                    return geo.pixel_distance_to_metres(source_xy, point.astype(jnp.float32), marker_length, msp_avg[3], msp_avg[v])
+
+                d_bbox = 0.5 * (
+                    one_basin(veh_dims[v], rvec[v], tvec[v])
+                    + one_basin(veh_dims2[v], rvec2[v], tvec2[v])
+                )
                 return d_aruco, d_bbox
 
             d_aruco_new, d_bbox_new = jax.vmap(veh_distance)(jnp.arange(3))

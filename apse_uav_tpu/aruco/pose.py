@@ -109,8 +109,21 @@ def solve_pnp_planar(
 ):
     """Solve planar PnP for one marker.  obj_pts (4,3), img_pts (4,2) pixels.
 
-    Returns (rvec (3,), tvec (3,)).
+    Returns (rvec (3,), tvec (3,)) of the minimum-reprojection-error basin.
     """
+    best, _ = _solve_pnp_planar_two(obj_pts, img_pts, mtx, dist, num_iters)
+    return best[:3], best[3:]
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def _solve_pnp_planar_two(
+    obj_pts: Array,
+    img_pts: Array,
+    mtx: Array,
+    dist: Array,
+    num_iters: int = 6,
+):
+    """Both refined planar-ambiguity poses, packed (6,) each, best first."""
     dist14 = camera.pad_dist_coeffs(dist)
     xy_norm = camera.undistort_points(img_pts, mtx, dist, num_iters=5)
     rvec0, tvec0 = _init_pose_planar(obj_pts[:, :2], xy_norm)
@@ -130,9 +143,44 @@ def solve_pnp_planar(
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros(6))
         return params - step
 
-    params0 = jnp.concatenate([rvec0, tvec0])
-    params = jax.lax.fori_loop(0, num_iters, gn_step, params0)
-    return params[:3], params[3:]
+    def refine(params0):
+        return jax.lax.fori_loop(0, num_iters, gn_step, params0)
+
+    params_a = refine(jnp.concatenate([rvec0, tvec0]))
+
+    # Planar-pose two-fold ambiguity: a square seen at a small tilt admits a
+    # second pose whose plane normal is the FIRST solution's normal reflected
+    # about the line of sight, with near-identical reprojection.  Sub-pixel
+    # corner noise decides which basin a single-init solver lands in — the
+    # reference's cv2 chain flips basins from ITS corner noise, unpredictably
+    # to any reimplementation (the round-2 parity run's 0.112 m d_bbox
+    # outlier was exactly such a disagreement).  Build the mirrored init from
+    # solution A, refine both, and return BOTH refined poses (best-residual
+    # first); ambiguity-sensitive consumers (the bbox-distance column)
+    # average over the pair, bounding the worst-case deviation from either
+    # basin choice at half the flip impact.
+    r_a = rotation.rodrigues_to_matrix(params_a[:3])
+    t_a = params_a[3:]
+    n = r_a[:, 2]
+    v = t_a / jnp.maximum(jnp.linalg.norm(t_a), 1e-9)
+    n_ref = 2.0 * jnp.dot(n, v) * v - n
+    axis = jnp.cross(n, n_ref)
+    s = jnp.linalg.norm(axis)
+    c = jnp.clip(jnp.dot(n, n_ref), -1.0, 1.0)
+    angle = jnp.arctan2(s, c)
+    axis = axis / jnp.maximum(s, 1e-12)
+    # Degenerate (zero tilt): mirrored init collapses onto A — harmless tie.
+    q = rotation.rodrigues_to_matrix(jnp.where(s > 1e-9, axis * angle, jnp.zeros(3)))
+    rvec_b0 = rotation.matrix_to_rodrigues(q @ r_a)
+    params_b = refine(jnp.concatenate([rvec_b0, t_a]))
+
+    err_a = jnp.sum(residual(params_a) ** 2)
+    err_b = jnp.sum(residual(params_b) ** 2)
+    take_b = jnp.isfinite(err_b) & (err_b < err_a)
+    best = jnp.where(take_b, params_b, params_a)
+    other = jnp.where(take_b, params_a, params_b)
+    other = jnp.where(jnp.all(jnp.isfinite(other)), other, best)
+    return best, other
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
@@ -155,6 +203,29 @@ def estimate_pose_single_markers(
     """
     obj = marker_object_points(marker_length)
     fn = lambda c: solve_pnp_planar(obj, c, mtx, dist, num_iters=num_iters)
+    for _ in range(corners.ndim - 2):
+        fn = jax.vmap(fn)
+    return fn(corners)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def estimate_pose_single_markers_two(
+    corners: Array,
+    marker_length,
+    mtx: Array,
+    dist: Array,
+    num_iters: int = 6,
+):
+    """Like :func:`estimate_pose_single_markers`, but returns both planar-
+    ambiguity basins: (rvec, tvec, rvec_alt, tvec_alt), best-residual first.
+    """
+    obj = marker_object_points(marker_length)
+
+    def one(c):
+        best, other = _solve_pnp_planar_two(obj, c, mtx, dist, num_iters)
+        return best[:3], best[3:], other[:3], other[3:]
+
+    fn = one
     for _ in range(corners.ndim - 2):
         fn = jax.vmap(fn)
     return fn(corners)

@@ -236,6 +236,8 @@ def main():
                          "diff the 22-col schema (reference :105-123,131-139)")
     ap.add_argument("--dcnn_csv",
                     default=os.path.join(REPO, "data", "static_dcnn_data.csv"))
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON summary to this path")
     ap.add_argument("--skip_render", action="store_true",
                     help="reuse frames already in workdir")
     args = ap.parse_args()
@@ -250,9 +252,18 @@ def main():
     ours_csv = run_ours(args.workdir, frames_dir, args.frames, args.xla_preproc,
                         args.force_cpu, dcnn_csv)
     summary = compare(ref_csv, ours_csv, args.use_centroid_data)
+    summary["config"] = {
+        "frames": args.frames, "altitude": args.altitude,
+        "use_centroid_data": args.use_centroid_data,
+        "xla_preproc": args.xla_preproc, "force_cpu": args.force_cpu,
+    }
     print(json.dumps(summary, indent=2))
     print(json.dumps({"parity_pass": summary["pass_0p1m"],
                       "distance_delta_max_m": summary["distance_delta_max"]}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

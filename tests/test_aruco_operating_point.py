@@ -1,0 +1,106 @@
+"""Detector recall + accuracy at the 4K operating point (~47 px markers).
+
+Round-2 post-mortem: all cv2-parity scenes lived at 960x544 / 12 m where
+markers are huge, while the end-to-end recall hole was at 4K / 40 m
+(reference regime: 3840x2160 input, aruco_detect.py:519; flight altitude
+~40 m) with ~47 px markers.  These tests render full-4K scenes through the
+real camera model and sweep marker yaw 0..90 deg, asserting recall parity
+with cv2.aruco under the reference's tuned parameters
+(/root/reference/aruco_detect.py:194-202) plus corner agreement.
+"""
+
+import os
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from apse_uav_tpu.core import camera
+from apse_uav_tpu.aruco.detector import ArucoDetector
+from apse_uav_tpu.utils.synthetic import MarkerSpec, SceneRenderer
+
+pytestmark = pytest.mark.slow
+
+W, H = 3840, 2160
+ALTITUDE = 40.0  # marker side ~47 px
+
+
+@pytest.fixture(scope="module")
+def cam():
+    mtx, dist = camera.load_camera_params(
+        os.path.join(os.path.dirname(__file__), "..", "data", "cam_params.json")
+    )
+    return mtx, dist
+
+
+def _cv2_detector():
+    d = cv2.aruco.getPredefinedDictionary(cv2.aruco.DICT_4X4_50)
+    p = cv2.aruco.DetectorParameters()
+    p.minMarkerPerimeterRate = 0.01
+    p.perspectiveRemovePixelPerCell = 8
+    p.perspectiveRemoveIgnoredMarginPerCell = 0.33
+    p.errorCorrectionRate = 2.0
+    p.cornerRefinementMethod = cv2.aruco.CORNER_REFINE_APRILTAG
+    return cv2.aruco.ArucoDetector(d, p)
+
+
+def _preprocess_reference(img, mtx, dist):
+    """The reference's preprocessing chain (aruco_detect.py:250-259,592)."""
+    mapx, mapy = cv2.initUndistortRectifyMap(
+        mtx, dist.reshape(-1, 1), None, mtx, (W, H), cv2.CV_32FC1
+    )
+    und = cv2.remap(img, mapx, mapy, cv2.INTER_LINEAR)
+    lut = np.clip((np.arange(256) / 255.0) ** 2 * 255.0, 0, 255).astype(np.uint8)
+    lab = cv2.cvtColor(und, cv2.COLOR_RGB2LAB)
+    lab[..., 0] = cv2.LUT(lab[..., 0], lut)
+    und = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+    return cv2.cvtColor(und, cv2.COLOR_BGR2GRAY)
+
+
+def test_small_marker_recall_yaw_sweep(cam):
+    """Every marker cv2 finds at 4K/40 m across yaw 0..90 must be found by
+    our detector too, with corners within 1.5 px (cv2 basis includes its own
+    ~0.45 px convention offset)."""
+    mtx, dist = cam
+    r = SceneRenderer(mtx, dist, (W, H), altitude=ALTITUDE, supersample=2)
+    det = ArucoDetector()
+    cvdet = _cv2_detector()
+
+    missed = []
+    worst_err = 0.0
+    for yaw in (0, 15, 30, 45, 60, 75, 90):
+        specs = [
+            MarkerSpec(4, (0.5, -2.0), yaw_deg=yaw + 4.0, leds=0b10110010),
+            MarkerSpec(1, (7.5, 3.0), yaw_deg=yaw - 12.0),
+            MarkerSpec(2, (-9.0, 2.0), yaw_deg=yaw + 30.0),
+            MarkerSpec(3, (4.0, -6.5), yaw_deg=yaw + 75.0),
+        ]
+        img = r.render(specs)
+        gray = _preprocess_reference(img, mtx, dist)
+
+        cvc, cvids, _ = cvdet.detectMarkers(gray)
+        assert cvids is not None, f"yaw {yaw}: cv2 found nothing (scene bug)"
+        cvmap = {int(i): c.reshape(4, 2) for c, i in zip(cvc, np.asarray(cvids).ravel())}
+
+        corners, ids = det.detect(jnp.asarray(gray))
+        ids = np.asarray(ids)
+        corners = np.asarray(corners)
+        ourmap = {int(ids[i]): corners[i] for i in range(len(ids)) if ids[i] >= 0}
+
+        for mid, cv_corners in cvmap.items():
+            if mid not in ourmap:
+                missed.append((yaw, mid))
+                continue
+            err = float(np.abs(ourmap[mid] - cv_corners).max())
+            worst_err = max(worst_err, err)
+    assert not missed, f"markers cv2 found but we missed (yaw, id): {missed}"
+    assert worst_err < 1.5, f"worst corner deviation vs cv2: {worst_err:.2f} px"
+
+
+def test_marker_sizes_are_operating_point(cam):
+    """Sanity: the rendered markers really are ~47 px (the regime that used
+    to flap), not the easy 100+ px of the 960x544 scenes."""
+    mtx, _ = cam
+    side_px = mtx[0, 0] * 0.55 / ALTITUDE
+    assert 40.0 < side_px < 55.0, side_px
