@@ -176,10 +176,33 @@ def _solve_pnp_planar_two(
 
     err_a = jnp.sum(residual(params_a) ** 2)
     err_b = jnp.sum(residual(params_b) ** 2)
-    take_b = jnp.isfinite(err_b) & (err_b < err_a)
+
+    # Physical sanity: the refined pose must be finite and in FRONT of the
+    # camera.  GN from the mirrored init can occasionally diverge to the
+    # projective twin (-R, -t) or a far-away degenerate fit whose residual
+    # is accidentally low — selecting or averaging those poisons everything
+    # downstream (a 100-frame parity run produced altitude -311 m from one
+    # such frame).
+    def sane(params, err):
+        return jnp.all(jnp.isfinite(params)) & jnp.isfinite(err) & (params[5] > 0)
+
+    sane_a = sane(params_a, err_a)
+    sane_b = sane(params_b, err_b)
+    take_b = sane_b & ((err_b < err_a) | ~sane_a)
     best = jnp.where(take_b, params_b, params_a)
+    best_err = jnp.where(take_b, err_b, err_a)
     other = jnp.where(take_b, params_a, params_b)
-    other = jnp.where(jnp.all(jnp.isfinite(other)), other, best)
+    other_err = jnp.where(take_b, err_a, err_b)
+    # The genuine second basin sits at nearly the same range with a residual
+    # of the same order; anything else collapses onto the best pose (the
+    # consumer's two-basin average then degenerates to the single pose).
+    ratio = jnp.linalg.norm(other[3:]) / jnp.maximum(jnp.linalg.norm(best[3:]), 1e-9)
+    other_ok = (
+        sane(other, other_err)
+        & (ratio > 0.5) & (ratio < 2.0)
+        & (other_err < 100.0 * best_err + 1.0)
+    )
+    other = jnp.where(other_ok, other, best)
     return best, other
 
 

@@ -145,22 +145,39 @@ def associate_embeddings(
     det: dict[str, Array],
     embeddings: Array,
     threshold: float,
+    exact: bool = False,
 ) -> dict[str, Array]:
-    """Hungarian association on squared-L2 embedding distances
-    (rcnn_tracker.py:122-147)."""
+    """Optimal-assignment association on squared-L2 embedding distances
+    (rcnn_tracker.py:122-147).
+
+    Default solver: threshold-gated auction matching (see
+    hungarian.gated_auction_match) — dense Jacobi sweeps instead of the
+    Jonker-Volgenant solve's O(n^2) sequential Dijkstra steps, which are
+    pure loop latency on TPU.  ``exact=True`` switches to the exact
+    pad-to-square JV solve + threshold gate (the reference's literal scipy
+    shape; same matching except when global assignment optimality routes a
+    track through an above-threshold pair).
+    """
     cap = state["active"].shape[0]
     d_cap = embeddings.shape[0]
-    n = max(cap, d_cap)
     diffs = state["embeddings"][:, None, :] - embeddings[None, :, :]
     dist = jnp.sum(diffs * diffs, axis=-1)  # (T, D)
-    # Pad with the solver's finite pad value (NOT _FAR_SQ=1e7: f32 ULP there
-    # is 1.0, which erases sub-unit cost differences in augmenting paths).
-    cost = jnp.full((n, n), hungarian_mod._BIG, jnp.float32)
-    cost = cost.at[:cap, :d_cap].set(
-        pad_cost(dist, state["active"], det["valid"])
-    )
-    _, col = linear_sum_assignment(cost)  # col[track] = det
-    det_for_track = col[:cap]
+    if exact:
+        n = max(cap, d_cap)
+        # Pad with the JV solver's finite pad value (NOT _FAR_SQ=1e7: f32
+        # ULP there is 1.0, erasing sub-unit cost differences in augmenting
+        # paths).
+        cost = jnp.full((n, n), hungarian_mod._BIG, jnp.float32)
+        cost = cost.at[:cap, :d_cap].set(
+            pad_cost(dist, state["active"], det["valid"])
+        )
+        _, col = linear_sum_assignment(cost)  # col[track] = det
+        det_for_track = col[:cap]
+    else:
+        det_for_track = hungarian_mod.gated_auction_match(
+            dist, state["active"], det["valid"], threshold
+        )
+        det_for_track = jnp.where(det_for_track < 0, d_cap, det_for_track)
     track_match_ok = (
         state["active"]
         & (det_for_track < d_cap)

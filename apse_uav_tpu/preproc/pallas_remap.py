@@ -7,14 +7,16 @@ for fused preproc).  It replaces the reference's per-frame OpenCV CPU chain
 Design (TPU-first, not a remap translation)
 -------------------------------------------
 cv2.remap is a random-gather — hostile to the TPU's vector memory.  But the
-undistortion map is a *smooth* diffeomorphism, so per 16x256 output tile the
-source footprint is a small window and the within-tile coordinate variation is
-tiny (median ~4 px for the reference lens).  We exploit that:
+undistortion map is a *smooth* diffeomorphism, so per output tile the source
+footprint is a small window and the within-tile coordinate variation is tiny
+(median ~4 px horizontally / ~2 px vertically for the reference lens).  We
+exploit that:
 
 1. **Host plan (exact, float64)**: compute the OpenCV-equivalent map once;
-   per tile derive a tile-aligned source window offset (DMA alignment: 32
-   rows / 128 lanes for uint8), a dynamic roll that removes the alignment
-   slack, and two small residual-coordinate fields:
+   per tile derive a tile-aligned source window offset (DMA alignment: 8
+   rows — the source is i32-packed so the sublane tile is 8 — and 128
+   packed lanes), a dynamic roll that removes the alignment slack, and two
+   small residual-coordinate fields:
      * ``yres[r, s]``: vertical sample position for *source column s* at
        output row r, relative to ``r`` after the roll.  Because the vertical
        pass runs before the horizontal one, column ``s`` must be sampled at
@@ -23,31 +25,38 @@ tiny (median ~4 px for the reference lens).  We exploit that:
        decomposition exact for bilinear.
      * ``lxres[r, c]``: horizontal sample position relative to ``c``.
 
-2. **Two buckets, one kernel**: tiles are classified by their within-tile
-   coordinate spans.  *Tame* tiles (the vast majority) use short static
-   shift-multiply-accumulate chains; *wild* tiles (strong magnification at
-   the frame edges, ~1% for the reference lens) branch to longer chains over
-   a larger source window.  Per-tile window offsets, rolls and the bucket
-   selector live in a scalar-prefetched table; the wild residual fields are
-   fetched via prefetch-indexed block specs, so tame steps re-use one block
-   and pay nothing.  The two bilinear taps appear as the two adjacent ``d``
-   terms of ``max(0, 1-|res-d|)`` — pure VPU work, no gathers, no scatter
-   patch pass.
+2. **Span buckets, one kernel**: tiles are classified by their within-tile
+   coordinate spans into several buckets (default: calm / mid / edge /
+   wild — ~82 / 15 / 2 / 1 % of 4K tiles for the reference lens), each with
+   its own static shift-multiply-accumulate chain lengths, so the median
+   tile pays a ~8-tap chain instead of the worst tile's ~80.  Per-tile
+   window offsets, rolls, and bucket ranks live in a scalar-prefetched
+   table; non-calm residual fields are compacted and fetched via
+   prefetch-indexed block specs.  The two bilinear taps appear as the two
+   adjacent ``d`` terms of ``max(0, 1-|res-d|)`` — pure VPU work, no
+   gathers, no scatter patch pass.
 
-3. **Kernel body**: double-buffered DMA of the 3-channel uint8 window (next
-   tile's window prefetched while the current one computes), convert to f32,
-   dynamic-roll away the alignment slack, resample, then the LAB gamma
-   roundtrip (closed form, with cv2's uint8 quantization points — all pow's
-   rewritten as bit-hack roots + Newton, transcendental-free for gamma 2)
-   and BGR2GRAY on the same VMEM tile.
+3. **Chunked window DMA**: Mosaic (jax 0.9) rejects two differently-shaped
+   manual DMAs from one ANY-space source, which would force every tile to
+   copy the WILD bucket's window height.  Instead the window is copied in
+   1..MAX_CHUNKS chunks of one fixed (CHUNK_ROWS, rw/4) shape — tame tiles
+   issue one chunk, tall-window tiles two — so the copy stays
+   shape-uniform while the bytes track each bucket's true need.
+
+4. **Kernel body**: double-buffered chunked DMA of the 3-channel i32-packed
+   window (next tile's window prefetched while the current one computes),
+   dynamic-roll away the alignment slack (rows, then whole-i32-word lanes;
+   the byte residue is folded into the horizontal residuals on the host),
+   unpack to byte planes, resample, then the LAB gamma roundtrip (closed
+   form, with cv2's uint8 quantization points — all pow's rewritten as
+   division-free bit-hack inverse roots + Newton) and BGR2GRAY on the same
+   VMEM tile.
 
 Borders: the input is zero-padded so every map sample lands inside the
 padded array — out-of-image taps read 0, matching cv2's BORDER_CONSTANT.
 Samples with a fully out-of-image footprint are exactly 0 under
 BORDER_CONSTANT, so the map is clamped to just outside the image first
 (without that, the diverging polynomial would dominate every span bound).
-Tiles whose spans exceed even the wild caps (none for realistic lenses)
-would fall back to an exact XLA bilinear-gather patch.
 """
 
 from __future__ import annotations
@@ -61,17 +70,38 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Output tile (sublanes x lanes). H must divide by TH, W by TW (4K: 2160/16,
-# 3840/256).
-TH = 16
-TW = 256
-# Window DMA alignment: sublane offsets multiple of 32; lane offsets of 512
-# bytes = 128 int32 lanes (the source is i32-packed, and Mosaic requires the
-# lane offset of an HBM slice to be provably divisible by the 128-lane tile).
-ALIGN_Y = 32
+# Window DMA alignment: sublane offsets multiple of 8 (i32-packed source:
+# the (8, 128) int32 tile), lane offsets of 512 bytes = 128 int32 lanes
+# (Mosaic requires the lane offset of an HBM slice to be provably divisible
+# by the 128-lane tile).
+ALIGN_Y = 8
 ALIGN_X = 512
+# Window DMA chunk height (rows).  Every window copy is 1..MAX_CHUNKS
+# chunks of exactly this height — one shape for every bucket.
+CHUNK_ROWS = 64
 
-_REC = 5  # per-tile scalar record: oy, ox, shifty, qx_shift, wild_rank
+# Default span-bucket caps (span_x, span_y): tiles whose within-tile
+# residual spans fit a cap take that bucket's short MAC chains; the last
+# implicit bucket (wild) takes whatever remains.
+BUCKET_SPANS = ((8.0, 6.0), (18.0, 13.0), (40.0, 24.0))
+
+_REC_FIXED = 5  # oy, ox, shifty, qx_shift, nchunks; + one rank per non-calm bucket
+
+
+def _pick_tiles(width: int, height: int) -> tuple[int, int]:
+    """Output tile (TH, TW) for a frame size: biggest supported tile that
+    divides the frame (fewer grid steps = less per-step overhead)."""
+    for th in (40, 48, 32, 24, 16, 8):
+        if height % th == 0:
+            break
+    else:
+        raise ValueError(f"height {height} not divisible by any supported tile height")
+    for tw in (256, 192, 128, 64):
+        if width % tw == 0:
+            break
+    else:
+        raise ValueError(f"width {width} not divisible by any supported tile width")
+    return th, tw
 
 
 def _distort_map_f64(mtx: np.ndarray, dist: np.ndarray, width: int, height: int):
@@ -105,8 +135,9 @@ class _Bucket:
     dx: int
     rh: int
     rw: int
+    nat: int  # post-roll compute width for this bucket
     offsets: np.ndarray  # (nty, ntx, 4) int32: oy, ox, shifty, shiftx
-    yres: np.ndarray  # (nty, ntx, TH, rw) float32
+    yres: np.ndarray  # (nty, ntx, TH, nat) float32 (post-narrow)
     lxres: np.ndarray  # (nty, ntx, TH, TW) float32 (-2 sentinel off-bucket)
     max_oy_end: int
     max_ox_end: int
@@ -122,47 +153,53 @@ class RemapPlan:
 
     width: int
     height: int
+    th: int
+    tw: int
     pad_x: int
     pad_y: int
     padded_w: int
     padded_h: int
-    nat: int  # post-roll compute width (columns) shared by both buckets
-    # Bucket 0 (tame).
-    dy: int
-    dx: int
-    rh: int
-    rw: int
-    yres: np.ndarray  # (nty, ntx, TH, rw) float32
-    lxres: np.ndarray  # (nty, ntx, TH, TW) float32
-    # Bucket 1 (wild), compacted to the wild tiles.
-    dy1: int
-    dx1: int
-    rh1: int
-    rw1: int
-    wild_yx: np.ndarray  # (nw, 2) int32 tile coords
-    wild_yres: np.ndarray  # (max(nw,1), TH, rw1) float32
-    wild_lxres: np.ndarray  # (max(nw,1), TH, TW) float32
-    # Combined per-tile scalar table.
-    table: np.ndarray  # flat (nty*ntx*_REC,) int32
+    rh: int  # unified window height (rows; multiple of CHUNK_ROWS)
+    rw: int  # unified window width (bytes; multiple of ALIGN_X)
+    # Per bucket b: MAC chain lengths, compute width, compacted fields.
+    # Bucket 0 fields are dense (nty, ntx, ...); buckets 1.. are compacted
+    # to their member tiles with a rank column in the table.
+    bucket_dy: tuple  # (B,)
+    bucket_dx: tuple
+    bucket_nat: tuple
+    bucket_used: tuple  # (B,) bool — empty buckets get no kernel body
+    yres0: np.ndarray  # (nty, ntx, TH, nat0) f32
+    lxres0: np.ndarray  # (nty, ntx, TH, TW) f32
+    sub_yres: tuple  # per bucket 1..: (max(nw,1), TH, nat_b) f32
+    sub_lxres: tuple  # per bucket 1..: (max(nw,1), TH, TW) f32
+    table: np.ndarray  # flat (nty*ntx*REC,) int32
 
     @property
     def nty(self) -> int:
-        return self.height // TH
+        return self.height // self.th
 
     @property
     def ntx(self) -> int:
-        return self.width // TW
+        return self.width // self.tw
+
+    @property
+    def n_buckets(self) -> int:
+        return len(self.bucket_dy)
+
+    @property
+    def rec(self) -> int:
+        return _REC_FIXED + self.n_buckets - 1
 
 
 def build_remap_plan(
-    mtx, dist, size_wh: tuple[int, int], max_dy: int = 18, max_dx: int = 32,
+    mtx, dist, size_wh: tuple[int, int], bucket_spans=BUCKET_SPANS,
     cache: bool = True,
 ) -> RemapPlan:
     """Build the per-tile plan from camera parameters (runs once, numpy f64).
 
-    ``max_dy`` / ``max_dx`` cap the tame bucket's static chain lengths;
-    tiles beyond them go to the wild bucket whose chain lengths are derived
-    from the actual spans.  Plans are cached on disk (keyed by camera +
+    ``bucket_spans`` are (span_x, span_y) caps for the non-wild buckets;
+    tiles beyond every cap form the final wild bucket whose chain lengths
+    come from the actual spans.  Plans are cached on disk (keyed by camera +
     geometry) since the exact Newton solve takes ~30 s at 4K.
     """
     if cache:
@@ -171,32 +208,47 @@ def build_remap_plan(
         key = hashlib.sha256(
             np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
             + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
-            + f"{size_wh}-{TH}-{TW}-{max_dy}-{max_dx}-v8".encode()
+            + f"{size_wh}-{bucket_spans}-{ALIGN_Y}-{CHUNK_ROWS}-v9".encode()
         ).hexdigest()[:16]
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
         path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
         if os.path.exists(path):
             z = np.load(path)
-            ints = {k: int(z[k]) for k in (
-                "width height pad_x pad_y padded_w padded_h nat dy dx rh rw dy1 dx1 rh1 rw1".split()
-            )}
+            nb = int(z["n_buckets"])
             return RemapPlan(
-                **ints,
-                yres=z["yres"], lxres=z["lxres"], wild_yx=z["wild_yx"],
-                wild_yres=z["wild_yres"], wild_lxres=z["wild_lxres"], table=z["table"],
+                **{k: int(z[k]) for k in (
+                    "width height th tw pad_x pad_y padded_w padded_h rh rw".split()
+                )},
+                bucket_dy=tuple(int(v) for v in z["bucket_dy"]),
+                bucket_dx=tuple(int(v) for v in z["bucket_dx"]),
+                bucket_nat=tuple(int(v) for v in z["bucket_nat"]),
+                bucket_used=tuple(bool(v) for v in z["bucket_used"]),
+                yres0=z["yres0"], lxres0=z["lxres0"],
+                sub_yres=tuple(z[f"sub_yres{b}"] for b in range(1, nb)),
+                sub_lxres=tuple(z[f"sub_lxres{b}"] for b in range(1, nb)),
+                table=z["table"],
             )
-        plan = build_remap_plan(mtx, dist, size_wh, max_dy, max_dx, cache=False)
+        plan = build_remap_plan(mtx, dist, size_wh, bucket_spans, cache=False)
         os.makedirs(cache_dir, exist_ok=True)
-        np.savez_compressed(
-            path + ".tmp.npz",
-            **{f.name: getattr(plan, f.name) for f in dataclasses.fields(plan)},
+        arrs = dict(
+            width=plan.width, height=plan.height, th=plan.th, tw=plan.tw,
+            pad_x=plan.pad_x, pad_y=plan.pad_y, padded_w=plan.padded_w,
+            padded_h=plan.padded_h, rh=plan.rh, rw=plan.rw,
+            n_buckets=plan.n_buckets,
+            bucket_dy=np.asarray(plan.bucket_dy), bucket_dx=np.asarray(plan.bucket_dx),
+            bucket_nat=np.asarray(plan.bucket_nat),
+            bucket_used=np.asarray(plan.bucket_used),
+            yres0=plan.yres0, lxres0=plan.lxres0, table=plan.table,
         )
+        for b in range(1, plan.n_buckets):
+            arrs[f"sub_yres{b}"] = plan.sub_yres[b - 1]
+            arrs[f"sub_lxres{b}"] = plan.sub_lxres[b - 1]
+        np.savez_compressed(path + ".tmp.npz", **arrs)
         os.replace(path + ".tmp.npz", path)
         return plan
 
     width, height = size_wh
-    if height % TH or width % TW:
-        raise ValueError(f"frame size {size_wh} must be a multiple of ({TW}, {TH})")
+    th, tw = _pick_tiles(width, height)
     mtx = np.asarray(mtx, dtype=np.float64)
     fwd_raw = _distort_map_f64(mtx, np.asarray(dist, dtype=np.float64), width, height)
 
@@ -213,18 +265,18 @@ def build_remap_plan(
     live = (mx > -1.0) & (mx < width) & (my > -1.0) & (my < height)
 
     pad_x = ALIGN_X  # clamp box is [-2, W+1] so one alignment unit suffices
-    pad_y = ALIGN_Y
+    pad_y = max(ALIGN_Y, 8)
     mx = mx + pad_x
     my = my + pad_y
 
-    nty, ntx = height // TH, width // TW
-    mxt = mx.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
-    myt = my.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
-    livet = live.reshape(nty, TH, ntx, TW).transpose(0, 2, 1, 3)
+    nty, ntx = height // th, width // tw
+    mxt = mx.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3)
+    myt = my.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3)
+    livet = live.reshape(nty, th, ntx, tw).transpose(0, 2, 1, 3)
     tile_live = livet.any(axis=(2, 3))
 
-    c_idx = np.arange(TW, dtype=np.float64)[None, None, None, :]
-    r_idx = np.arange(TH, dtype=np.float64)[None, None, :, None]
+    c_idx = np.arange(tw, dtype=np.float64)[None, None, None, :]
+    r_idx = np.arange(th, dtype=np.float64)[None, None, :, None]
 
     # Within-tile residual spans (live pixels only) decide the bucket.
     def span(vals, mask):
@@ -235,8 +287,18 @@ def build_remap_plan(
 
     span_x = span(mxt - c_idx, livet)
     span_y = span(myt - r_idx, livet)
-    tame = tile_live & (span_x <= max_dx - 2) & (span_y <= max_dy - 4)
-    wild = tile_live & ~tame
+
+    # Bucket assignment: first cap that fits, else wild (last bucket).
+    nb = len(bucket_spans) + 1
+    bucket_id = np.full((nty, ntx), nb - 1, np.int32)
+    taken = np.zeros((nty, ntx), bool)
+    for b, (bx, by) in enumerate(bucket_spans):
+        fits = tile_live & ~taken & (span_x <= bx) & (span_y <= by)
+        bucket_id[fits] = b
+        taken |= fits
+    bucket_id[~tile_live] = 0  # dead tiles: cheapest chains, sentinel fields
+    masks = [tile_live & (bucket_id == b) for b in range(nb)]
+    masks[0] = masks[0] | ~tile_live
 
     def bucket_fields(mask: np.ndarray, eps: float = 1e-3) -> _Bucket:
         """Windows, rolls and residual fields for the masked tile set."""
@@ -247,7 +309,7 @@ def build_remap_plan(
         ox = (x_min // ALIGN_X) * ALIGN_X
 
         # Horizontal residuals first: the window must cover both the source
-        # extent and the chain's read range (TW + dx - 1).
+        # extent and the chain's read range (tw + dx - 1).
         lx_local = mxt - ox[:, :, None, None]
         relx = np.where(stat_mask, lx_local - c_idx, np.inf)
         rollx = np.where(any_stat, np.floor(np.where(any_stat[:, :, None, None], relx, 0.0).min(axis=(2, 3))), 0.0).astype(np.int64)
@@ -257,16 +319,16 @@ def build_remap_plan(
         # Sentinel -2: all horizontal weights vanish -> exact 0 (dead px).
         lxres = np.where(stat_mask, lxres_all.clip(0.0, dx - 1.0), -2.0).astype(np.float32)
 
-        rw = -(-max(int((x_max - ox).max()) + 2, TW + dx) // ALIGN_X) * ALIGN_X
+        rw = -(-max(int((x_max - ox).max()) + 2, tw + dx) // ALIGN_X) * ALIGN_X
 
         # Exact vertical sample positions per source column (Newton for the
         # x-preimage, f64).
         s_local = np.arange(rw, dtype=np.float64)
-        y_at = np.empty((nty, ntx, TH, rw), dtype=np.float64)
+        y_at = np.empty((nty, ntx, th, rw), dtype=np.float64)
         for i in range(nty):
-            s_glob = np.broadcast_to(ox[i][:, None, None] + s_local[None, None, :], (ntx, TH, rw))
+            s_glob = np.broadcast_to(ox[i][:, None, None] + s_local[None, None, :], (ntx, th, rw))
             v_glob = np.broadcast_to(
-                np.arange(i * TH, (i + 1) * TH, dtype=np.float64)[None, :, None], (ntx, TH, rw)
+                np.arange(i * th, (i + 1) * th, dtype=np.float64)[None, :, None], (ntx, th, rw)
             )
             u = np.clip(s_glob - pad_x, 0.0, width - 1.0)
             for _ in range(4):
@@ -320,46 +382,34 @@ def build_remap_plan(
         shiftx = ((-rollx) % rw).astype(np.int32)
         offsets = np.stack([oy, ox, shifty, shiftx], axis=-1).astype(np.int32)
         return _Bucket(
-            dy=dy, dx=dx, rh=int(rh), rw=int(rw), offsets=offsets,
+            dy=dy, dx=dx, rh=int(rh), rw=int(rw), nat=0, offsets=offsets,
             yres=yres, lxres=lxres,
             max_oy_end=int((oy + rh).max()), max_ox_end=int((ox + rw).max()),
             rolly=rolly, rollx=rollx,
         )
 
-    b0 = bucket_fields(tame)
-    assert b0.dy <= max_dy and b0.dx <= max_dx, (b0.dy, b0.dx, max_dy, max_dx)
-    wi, wj = np.nonzero(wild)
-    wild_yx = np.stack([wi, wj], axis=-1).astype(np.int32)
-    if len(wild_yx):
-        b1 = bucket_fields(wild)
-        # Guard against degenerate lenses: chains beyond this are a config
-        # error, not a remap problem.
-        assert b1.dy <= 160 and b1.dx <= 320, (b1.dy, b1.dx)
-        # Unify the WINDOW geometry across buckets (keep the per-bucket MAC
-        # chain lengths dy/dx): Mosaic (jax 0.9) rejects two differently-
-        # shaped manual DMAs from the same ANY-space source under pl.when
-        # ("DMA source and target element type/shape mismatch").  One shared
-        # window shape makes the copy unconditional; wild tiles are ~1% so
-        # the extra tame-window bytes are noise.
-        rh_u = max(b0.rh, b1.rh)
-        rw_u = max(b0.rw, b1.rw)
-    else:
-        b1 = dataclasses.replace(b0, dy=2, dx=2)
-        rh_u, rw_u = b0.rh, b0.rw
+    buckets = [bucket_fields(m) for m in masks]
+    # Guard against degenerate lenses: chains beyond this are a config
+    # error, not a remap problem.
+    assert buckets[-1].dy <= 160 and buckets[-1].dx <= 320, (buckets[-1].dy, buckets[-1].dx)
 
+    # Unified window geometry (one DMA chunk shape for every bucket).
     # Roll-early narrowing: the kernel aligns the PACKED window with cyclic
     # rolls (rows by shifty; lanes by whole i32 words qx = floor(rollx/4)),
-    # then computes only over the first `nat` post-roll columns — the
-    # consumed span TW + dx plus slack, far narrower than the aligned
-    # window rw.  The byte residue m = rollx - 4*qx is absorbed into the
-    # HORIZONTAL residuals (lxres + m, up to 3 extra taps) so the unpack is
-    # a pure plane split with no per-tile reorder.  The vertical fields are
-    # re-indexed to POST-roll columns.
-    dx_eff = max(b0.dx, b1.dx) + 3
-    nat = -(-(TW + dx_eff + 8) // 512) * 512
-    rw_u = max(rw_u, nat + ALIGN_X)
+    # then computes only over the first `nat_b` post-roll columns — the
+    # consumed span tw + dx_b plus slack.  The byte residue m = rollx - 4*qx
+    # is absorbed into the HORIZONTAL residuals (lxres + m, up to 3 extra
+    # taps), so the unpack is a pure plane split with no per-tile reorder.
+    nats = []
+    for b in buckets:
+        dx_eff = b.dx + 3
+        nats.append(-(-(tw + dx_eff + 8) // 512) * 512)
+    nat_max = max(nats)
+    rh_u = max(b.rh for b in buckets)
+    rh_u = -(-rh_u // CHUNK_ROWS) * CHUNK_ROWS
+    rw_u = max(max(b.rw for b in buckets), nat_max + ALIGN_X)
 
-    def narrow(b: _Bucket) -> _Bucket:
+    def narrow(b: _Bucket, nat: int) -> _Bucket:
         yres = b.yres
         if yres.shape[-1] < rw_u:
             yres = np.pad(yres, [(0, 0)] * (yres.ndim - 1) + [(0, rw_u - yres.shape[-1])])
@@ -377,46 +427,79 @@ def build_remap_plan(
         offsets[..., 2] = ((-b.rolly) % rh_u).astype(np.int32)
         offsets[..., 3] = ((-qx) % (rw_u // 4)).astype(np.int32)  # packed-lane shift
         return dataclasses.replace(
-            b, rh=rh_u, rw=rw_u, dx=b.dx + 3, yres=yres_nat.astype(np.float32), lxres=lxres,
-            offsets=offsets,
+            b, rh=rh_u, rw=rw_u, nat=nat, dx=b.dx + 3, yres=yres_nat.astype(np.float32),
+            lxres=lxres, offsets=offsets,
             max_oy_end=int((offsets[..., 0] + rh_u).max()),
             max_ox_end=int((offsets[..., 1] + rw_u).max()),
         )
 
-    b0 = narrow(b0)
-    b1 = narrow(b1)
-    if len(wild_yx):
-        wild_yres = b1.yres[wi, wj]  # (nw, TH, nat)
-        wild_lxres = b1.lxres[wi, wj]
-    else:
-        wild_yres = np.zeros((1, TH, nat), np.float32)
-        wild_lxres = np.full((1, TH, TW), -2.0, np.float32)
+    buckets = [narrow(b, nat) for b, nat in zip(buckets, nats)]
 
-    padded_w = max(-(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X, b0.max_ox_end, b1.max_ox_end if len(wild_yx) else 0)
-    padded_h = max(-(-(height + 2 * pad_y) // ALIGN_Y) * ALIGN_Y, b0.max_oy_end, b1.max_oy_end if len(wild_yx) else 0)
+    used = [bool(m.any()) for m in masks]
+    used[0] = True
+    padded_w = max(
+        -(-(width + 2 * pad_x) // ALIGN_X) * ALIGN_X,
+        max(b.max_ox_end for b, u in zip(buckets, used) if u),
+    )
+    padded_h = max(
+        -(-(height + 2 * pad_y) // ALIGN_Y) * ALIGN_Y,
+        max(b.max_oy_end for b, u in zip(buckets, used) if u),
+    )
 
-    # Combined scalar table: wild tiles carry their bucket-1 offsets + rank.
-    table = np.zeros((nty, ntx, _REC), np.int32)
-    table[:, :, :4] = b0.offsets
-    rank = np.full((nty, ntx), -1, np.int32)
-    for k, (i, j) in enumerate(wild_yx):
-        rank[i, j] = k
-        table[i, j, :4] = b1.offsets[i, j]
-    table[:, :, 4] = rank
+    # Combined scalar table: every tile carries its own bucket's offsets,
+    # chunk count, and (for non-calm buckets) its compacted field rank.
+    rec = _REC_FIXED + nb - 1
+    table = np.zeros((nty, ntx, rec), np.int32)
+    table[:, :, :4] = buckets[0].offsets
+    sub_yres, sub_lxres = [], []
+    for b in range(1, nb):
+        bi, bj = np.nonzero(masks[b])
+        rank = np.full((nty, ntx), -1, np.int32)
+        rank[bi, bj] = np.arange(len(bi))
+        for i, j in zip(bi, bj):
+            table[i, j, :4] = buckets[b].offsets[i, j]
+        table[:, :, _REC_FIXED + b - 1] = rank
+        if len(bi):
+            sub_yres.append(np.ascontiguousarray(buckets[b].yres[bi, bj]))
+            sub_lxres.append(np.ascontiguousarray(buckets[b].lxres[bi, bj]))
+        else:
+            sub_yres.append(np.zeros((1, th, buckets[b].nat), np.float32))
+            sub_lxres.append(np.full((1, th, tw), -2.0, np.float32))
+    # Chunk count per tile: how many CHUNK_ROWS chunks the window copy
+    # needs.  The kernel's vertical MAC consumes post-roll rows [0, rows_b)
+    # where rows_b = align8(th + dy_b); post-roll row i reads pre-roll
+    # window row (i + rolly) mod rh.  For rolly >= 0 (the common case:
+    # alignment slack removed by the roll) the reads are the contiguous
+    # prefix-offset range [rolly, rolly + rows_b); for rolly < 0 the first
+    # -rolly post-roll rows would wrap to the window tail, but every tap
+    # that lands there has zero weight by construction, so the copy only
+    # needs [0, rows_b + rolly) subset of [0, rows_b).  Copy height =
+    # rows_b + max(rolly, 0), clamped to rh.
+    nchunks = np.ones((nty, ntx), np.int64)
+    for b in range(nb):
+        m = masks[b]
+        if not m.any():
+            continue
+        rows_b = min(-(-(th + buckets[b].dy) // 8) * 8, rh_u)
+        ext = np.minimum(rows_b + np.maximum(buckets[b].rolly[m], 0), rh_u)
+        nchunks[m] = -(-ext // CHUNK_ROWS)
+    table[:, :, 4] = nchunks.astype(np.int32)
 
     return RemapPlan(
-        width=width, height=height, pad_x=pad_x, pad_y=pad_y,
-        padded_w=int(padded_w), padded_h=int(padded_h), nat=int(nat),
-        dy=b0.dy, dx=b0.dx, rh=b0.rh, rw=b0.rw,
-        yres=b0.yres, lxres=b0.lxres,
-        dy1=b1.dy, dx1=b1.dx, rh1=b1.rh, rw1=b1.rw,
-        wild_yx=wild_yx, wild_yres=wild_yres, wild_lxres=wild_lxres,
+        width=width, height=height, th=th, tw=tw, pad_x=pad_x, pad_y=pad_y,
+        padded_w=int(padded_w), padded_h=int(padded_h), rh=int(rh_u), rw=int(rw_u),
+        bucket_dy=tuple(b.dy for b in buckets),
+        bucket_dx=tuple(b.dx for b in buckets),
+        bucket_nat=tuple(b.nat for b in buckets),
+        bucket_used=tuple(used),
+        yres0=buckets[0].yres, lxres0=buckets[0].lxres,
+        sub_yres=tuple(sub_yres), sub_lxres=tuple(sub_lxres),
         table=table.reshape(-1),
     )
 
 
 # ---------------------------------------------------------------------------
-# Kernel-side math (VPU-friendly; bit-hack roots + Newton instead of pow).
+# Kernel-side math (VPU-friendly; division-free bit-hack roots + Newton).
 # ---------------------------------------------------------------------------
 
 
@@ -425,30 +508,34 @@ def _pow(x, p):
 
 
 def _cbrt(x):
-    """Fast x^(1/3) for x >= 0: exponent bit-hack seed + 2 Newton steps.
+    """Fast x^(1/3) for x >= 0 via the inverse root r = x^(-1/3).
 
-    exp/log-free — transcendentals cost ~30 cycles each on the VPU and the
-    LAB roundtrip would need ~20 per pixel.  ~1e-6 relative accuracy.
+    Division-free: bit-hack seed + 3 Newton steps r <- r(4 - x r^3)/3, then
+    cbrt = x * r^2.  Transcendentals cost ~30 cycles each on the VPU and
+    divisions ~10; this is all multiplies.  ~1e-6 relative accuracy.
     """
     x = jnp.maximum(x, 1e-20)
     i = jax.lax.bitcast_convert_type(x, jnp.int32)
-    seed = (jnp.floor(i.astype(jnp.float32) * (1.0 / 3.0)) + 709921077.0).astype(jnp.int32)
-    y = jax.lax.bitcast_convert_type(seed, jnp.float32)
-    for _ in range(2):
-        y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
-    return y
+    # exponent(r) = -exponent(x)/3: i_r ~ K - i/3 with K tuned for the seed.
+    seed = (1419970954.0 - jnp.floor(i.astype(jnp.float32) * (1.0 / 3.0))).astype(jnp.int32)
+    r = jax.lax.bitcast_convert_type(seed, jnp.float32)
+    for _ in range(3):
+        r = r * (4.0 - x * (r * r) * r) * (1.0 / 3.0)
+    return x * r * r
 
 
 def _fifth_root(x):
-    """Fast x^(1/5) for x > 0: bit-hack seed + 2 Newton steps."""
+    """Fast x^(1/5) for x > 0 via r = x^(-1/5): seed + 3 Newton steps
+    r <- r(6 - x r^5)/5, then x^(1/5) = x * r^4.  Division-free."""
     x = jnp.maximum(x, 1e-20)
     i = jax.lax.bitcast_convert_type(x, jnp.int32)
-    seed = (jnp.floor(i.astype(jnp.float32) * (1.0 / 5.0)) + 852282573.0).astype(jnp.int32)
-    y = jax.lax.bitcast_convert_type(seed, jnp.float32)
-    for _ in range(2):
-        y2 = y * y
-        y = (4.0 * y + x / (y2 * y2)) * (1.0 / 5.0)
-    return y
+    seed = (1277923859.0 - jnp.floor(i.astype(jnp.float32) * 0.2)).astype(jnp.int32)
+    r = jax.lax.bitcast_convert_type(seed, jnp.float32)
+    for _ in range(3):
+        r2 = r * r
+        r = r * (6.0 - x * r2 * r2 * r) * 0.2
+    r2 = r * r
+    return x * r2 * r2
 
 
 def _srgb_to_linear(u):
@@ -534,58 +621,69 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
 
 
 def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
-    rh, rw, dy, dx = dims.rh, dims.rw, dims.dy, dims.dx
-    rh1, rw1, dy1, dx1 = dims.rh1, dims.rw1, dims.dy1, dims.dx1
-    nty, ntx = dims.height // TH, dims.width // TW
+    th, tw = dims.th, dims.tw
+    rh, rw = dims.rh, dims.rw
+    nty, ntx = dims.height // th, dims.width // tw
     tiles = nty * ntx
-    has_wild = dims.nwild > 0
+    nb = len(dims.bucket_dy)
+    rec = _REC_FIXED + nb - 1
+    max_chunks = rh // CHUNK_ROWS
 
-    def kernel(tab_ref, yres_ref, lxres_ref, wyres_ref, wlxres_ref, src_ref,
-               *out_refs):
+    def kernel(tab_ref, yres0_ref, lxres0_ref, *rest):
+        sub_refs = rest[: 2 * (nb - 1)]
+        src_ref = rest[2 * (nb - 1)]
+        out_refs = rest[2 * (nb - 1) + 1:]
         if want_rgb:
             out_ref, gray_ref, s_u8, sem = out_refs
         else:
             gray_ref, s_u8, sem = out_refs
             out_ref = None
         # Grid order: (tile_y, tile_x, batch) with batch INNERMOST — the
-        # residual-field blocks (yres/lxres, ~40 KB/tile) depend only on the
-        # tile, so consecutive batch steps reuse them instead of re-fetching
-        # ~5x the frame's bytes per frame.
+        # residual-field blocks depend only on the tile, so consecutive
+        # batch steps reuse them instead of re-fetching per frame.
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         b = pl.program_id(2)
-        nb = pl.num_programs(2)
-        step = ((ti * ntx + tj) * nb) + b
+        nb_batch = pl.num_programs(2)
+        step = ((ti * ntx + tj) * nb_batch) + b
         slot = jax.lax.rem(step, 2)
 
-        # Window geometry is UNIFIED across buckets (rh1 == rh, rw1 == rw —
-        # see build_remap_plan): the DMA is one unconditional shape; only the
-        # resample chain lengths differ per bucket.  (Mosaic rejects two
-        # differently-shaped manual DMAs from one ANY-space source.)
         # The source is i32-packed (4 bytes/lane): offsets and widths are in
-        # i32 units; the kernel unpacks bytes after the copy.
+        # i32 units; the kernel unpacks bytes after the copy.  The window is
+        # copied in 1..max_chunks chunks of ONE fixed shape (Mosaic rejects
+        # differently-shaped manual DMAs from one ANY-space source).
         rw4 = rw // 4
 
-        def dmas(slot_, bb, tti, ttj):
-            base = (tti * ntx + ttj) * _REC
+        def dmas(slot_, bb, tti, ttj, k):
+            base = (tti * ntx + ttj) * rec
             oy = pl.multiple_of(tab_ref[base + 0], ALIGN_Y)
             ox4 = pl.multiple_of(tab_ref[base + 1] // 4, ALIGN_X // 4)
             return [
                 pltpu.make_async_copy(
-                    src_ref.at[bb, ch, pl.ds(oy, rh), pl.ds(ox4, rw4)],
-                    s_u8.at[slot_, ch, pl.ds(0, rh), pl.ds(0, rw4)],
-                    sem.at[slot_, ch],
+                    src_ref.at[bb, ch, pl.ds(oy + k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(ox4, rw4)],
+                    s_u8.at[slot_, ch, pl.ds(k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(0, rw4)],
+                    sem.at[slot_, ch, k],
                 )
                 for ch in range(3)
             ]
 
+        def _chunked(slot_, sstep, op):
+            ni = sstep // (ntx * nb_batch)
+            rem_ = jax.lax.rem(sstep, ntx * nb_batch)
+            nj = rem_ // nb_batch
+            bb = jax.lax.rem(rem_, nb_batch)
+            nch = tab_ref[(ni * ntx + nj) * rec + 4]
+            for k in range(max_chunks):
+                @pl.when(k < nch)
+                def _():
+                    for d in dmas(slot_, bb, ni, nj, k):
+                        getattr(d, op)()
+
         def start_for(slot_, sstep):
-            ni = sstep // (ntx * nb)
-            rem = jax.lax.rem(sstep, ntx * nb)
-            nj = rem // nb
-            bb = jax.lax.rem(rem, nb)
-            for d in dmas(slot_, bb, ni, nj):
-                d.start()
+            _chunked(slot_, sstep, "start")
+
+        def wait_for(slot_, sstep):
+            _chunked(slot_, sstep, "wait")
 
         # Double buffering: first step primes its own slot; every step then
         # prefetches the next tile's window into the other slot.
@@ -593,19 +691,15 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
         def _():
             start_for(slot, step)
 
-        @pl.when(step + 1 < nb * tiles)
+        @pl.when(step + 1 < nb_batch * tiles)
         def _():
             start_for(1 - slot, step + 1)
 
-        base = (ti * ntx + tj) * _REC
+        base = (ti * ntx + tj) * rec
         shifty = tab_ref[base + 2]
         qx_shift = tab_ref[base + 3]  # packed-lane roll (i32 words)
-        my_wild = tab_ref[base + 4] >= 0
 
-        nat = dims.nat
-        nat4 = nat // 4
-
-        def resample(src_rows, yres_p, lxres_p, dy_, dx_, rows_):
+        def resample(src_rows, yres_p, lxres_p, dy_, dx_, nat_, rows_):
             """Two-pass shift-MAC resample + LAB gamma + writes.
 
             Roll-early, deinterleaved: the PACKED window is aligned with
@@ -618,29 +712,37 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
             slices only.  Outputs stay perm-ordered; the XLA wrapper
             reinterleaves the full frames once at the end.
             """
-            tw4 = TW // 4
-            ws_v = [jnp.maximum(0.0, 1.0 - jnp.abs(yres_p - float(d))) for d in range(dy_)]
-            planes_out = []
-            for ch in range(3):
-                s = src_rows(ch, rows_)  # (rows_, nat) f32 perm-order, aligned
-                v = jnp.zeros((TH, nat), jnp.float32)
-                for d in range(dy_):
-                    v = v + ws_v[d] * s[d : d + TH, :]
-                # Horizontal MAC per output residue b: post-roll natural
-                # column c = 4a + b, tap e reads natural c + e = plane
-                # (b+e)%4 at a + (b+e)//4 — static slices of v.
-                outs = []
-                for bres in range(4):
-                    lx_b = lxres_p[:, bres * tw4 : (bres + 1) * tw4]
-                    o_b = jnp.zeros((TH, tw4), jnp.float32)
-                    for e in range(dx_):
-                        wgt = jnp.maximum(0.0, 1.0 - jnp.abs(lx_b - float(e)))
-                        t = bres + e
-                        pbase = (t % 4) * nat4 + (t // 4)
-                        o_b = o_b + wgt * v[:, pbase : pbase + tw4]
-                    outs.append(o_b)
-                o = jnp.concatenate(outs, axis=1)  # (TH, TW) perm-order
-                planes_out.append(jnp.clip(jnp.round(o), 0.0, 255.0))
+            tw4 = tw // 4
+            nat4 = nat_ // 4
+            # Tap loops OUTERMOST, channels innermost: each per-tap weight
+            # plane ((th, nat_) f32) is shared by the 3 channels and must
+            # DIE right after its tap — with channels outermost the
+            # compiler CSEs the channel-independent weights and keeps all
+            # dy_ (or dx_*4) of them live at once, blowing the 16 MB
+            # scoped-VMEM stack for the wild bucket's long chains.
+            ss = [src_rows(ch, nat_, rows_) for ch in range(3)]
+            vs = [jnp.zeros((th, nat_), jnp.float32) for _ in range(3)]
+            for d in range(dy_):
+                w_d = jnp.maximum(0.0, 1.0 - jnp.abs(yres_p - float(d)))
+                vs = [v + w_d * s[d : d + th, :] for v, s in zip(vs, ss)]
+            # Horizontal MAC per output residue b: post-roll natural
+            # column c = 4a + b, tap e reads natural c + e = plane
+            # (b+e)%4 at a + (b+e)//4 — static slices of v.
+            outs = [[] for _ in range(3)]
+            for bres in range(4):
+                lx_b = lxres_p[:, bres * tw4 : (bres + 1) * tw4]
+                o_b = [jnp.zeros((th, tw4), jnp.float32) for _ in range(3)]
+                for e in range(dx_):
+                    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(lx_b - float(e)))
+                    t = bres + e
+                    pbase = (t % 4) * nat4 + (t // 4)
+                    o_b = [o + wgt * v[:, pbase : pbase + tw4] for o, v in zip(o_b, vs)]
+                for ch in range(3):
+                    outs[ch].append(o_b[ch])
+            planes_out = [
+                jnp.clip(jnp.round(jnp.concatenate(outs[ch], axis=1)), 0.0, 255.0)
+                for ch in range(3)
+            ]
             c0, c1, c2, gray = lab_gamma_gray_f32(planes_out[0], planes_out[1], planes_out[2], gamma)
             if want_rgb:
                 out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
@@ -648,10 +750,9 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
                 out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
             gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
 
-        for d in dmas(slot, b, ti, tj):
-            d.wait()
+        wait_for(slot, step)
 
-        def rows(ch, rows_):
+        def rows(ch, nat_, rows_):
             # Align the PACKED window with cyclic rolls (4 bytes/lane ==
             # cheap), slice to the consumed span, then unpack into
             # deinterleaved byte planes: post-roll natural column 4a + p is
@@ -662,30 +763,44 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
             p32 = pltpu.roll(p32, shift=shifty, axis=0)
             p32 = p32[0:rows_, :]
             p32 = pltpu.roll(p32, shift=qx_shift, axis=1)
-            p32 = p32[:, 0:nat4]
+            p32 = p32[:, 0 : nat_ // 4]
             return jnp.concatenate(
                 [((p32 >> (8 * k)) & 255).astype(jnp.float32) for k in range(4)],
                 axis=1,
-            )  # (rows_, nat)
+            )  # (rows_, nat_)
 
-        # Rows actually consumed by the vertical MAC, per bucket (multiple
-        # of 8 for sublane alignment).
-        rows0 = min(-(-(TH + dy) // 8) * 8, rh)
-        rows1 = min(-(-(TH + dy1) // 8) * 8, rh)
+        # Per-bucket bodies.  Exactly one branch runs per tile: bucket 0
+        # (calm) when no rank column matches, else the ranked bucket.
+        ranks = [tab_ref[base + _REC_FIXED + bi - 1] for bi in range(1, nb)]
 
-        def tame_body():
-            resample(rows, yres_ref[0, 0], lxres_ref[0, 0], dy, dx, rows0)
+        def body_for(bi):
+            dy_ = dims.bucket_dy[bi]
+            dx_ = dims.bucket_dx[bi]
+            nat_ = dims.bucket_nat[bi]
+            rows_ = min(-(-(th + dy_) // 8) * 8, rh)
+            if bi == 0:
+                resample(rows, yres0_ref[0, 0], lxres0_ref[0, 0], dy_, dx_, nat_, rows_)
+            else:
+                yr = sub_refs[2 * (bi - 1)][0]
+                lr = sub_refs[2 * (bi - 1) + 1][0]
+                resample(rows, yr, lr, dy_, dx_, nat_, rows_)
 
-        if has_wild:
-            @pl.when(~my_wild)
-            def _():
-                tame_body()
-
-            @pl.when(my_wild)
-            def _():
-                resample(rows, wyres_ref[0], wlxres_ref[0], dy1, dx1, rows1)
+        live_rest = [bi for bi in range(1, nb) if dims.bucket_used[bi]]
+        if not live_rest:
+            body_for(0)
         else:
-            tame_body()
+            in_calm = ranks[live_rest[0] - 1] < 0
+            for bi in live_rest[1:]:
+                in_calm = in_calm & (ranks[bi - 1] < 0)
+
+            @pl.when(in_calm)
+            def _():
+                body_for(0)
+
+            for bi in live_rest:
+                @pl.when(ranks[bi - 1] >= 0)
+                def _(bi=bi):
+                    body_for(bi)
 
     return kernel
 
@@ -703,20 +818,18 @@ class _PlanDims:
 
     width: int
     height: int
+    th: int
+    tw: int
     pad_x: int
     pad_y: int
     padded_w: int
     padded_h: int
-    nat: int
-    dy: int
-    dx: int
     rh: int
     rw: int
-    dy1: int
-    dx1: int
-    rh1: int
-    rw1: int
-    nwild: int
+    bucket_dy: tuple
+    bucket_dx: tuple
+    bucket_nat: tuple
+    bucket_used: tuple
 
 
 class PallasPreprocessor:
@@ -742,32 +855,37 @@ class PallasPreprocessor:
         # i32-packed window): permute the per-source-column / per-output-
         # column residual fields to match (perm col p*L/4 + a <-> natural
         # 4a + p).
-        self._yres = jnp.asarray(_perm_lanes(p.yres))
-        self._lxres = jnp.asarray(_perm_lanes(p.lxres))
-        self._wyres = jnp.asarray(_perm_lanes(p.wild_yres))
-        self._wlxres = jnp.asarray(_perm_lanes(p.wild_lxres))
+        self._yres0 = jnp.asarray(_perm_lanes(p.yres0))
+        self._lxres0 = jnp.asarray(_perm_lanes(p.lxres0))
+        self._subs = tuple(
+            (jnp.asarray(_perm_lanes(y)), jnp.asarray(_perm_lanes(l)))
+            for y, l in zip(p.sub_yres, p.sub_lxres)
+        )
         self._dims = _PlanDims(
-            width=p.width, height=p.height, pad_x=p.pad_x, pad_y=p.pad_y,
-            padded_w=p.padded_w, padded_h=p.padded_h, nat=p.nat, dy=p.dy, dx=p.dx,
-            rh=p.rh, rw=p.rw, dy1=p.dy1, dx1=p.dx1, rh1=p.rh1, rw1=p.rw1,
-            nwild=len(p.wild_yx),
+            width=p.width, height=p.height, th=p.th, tw=p.tw,
+            pad_x=p.pad_x, pad_y=p.pad_y,
+            padded_w=p.padded_w, padded_h=p.padded_h, rh=p.rh, rw=p.rw,
+            bucket_dy=tuple(p.bucket_dy), bucket_dx=tuple(p.bucket_dx),
+            bucket_nat=tuple(p.bucket_nat), bucket_used=tuple(p.bucket_used),
         )
 
     def __call__(self, frames: jax.Array):
+        subs_flat = tuple(x for pair in self._subs for x in pair)
         return _fused_preproc(
-            frames, self._table, self._yres, self._lxres, self._wyres, self._wlxres,
+            frames, self._table, self._yres0, self._lxres0, subs_flat,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
             want_rgb=self.want_rgb,
         )
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb"))
-def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
+def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
     bsz, _, h, w = frames.shape
     assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    th, tw = dims.th, dims.tw
     # Mosaic (jax 0.9) models u8/i8 HBM arrays with a byte-packed tiled
     # layout whenever XLA chooses one (any nontrivial consumer graph), and
     # the manual-DMA verifier then rejects the window copy ("shape
@@ -784,40 +902,47 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
         ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
          (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
     )
-    nty, ntx = h // TH, w // TW
+    nty, ntx = h // th, w // tw
     kernel = _make_kernel(dims, gamma, want_rgb)
-    nwild = max(dims.nwild, 1)
+    nb = len(dims.bucket_dy)
+    rec = _REC_FIXED + nb - 1
+    max_chunks = dims.rh // CHUNK_ROWS
 
-    def wild_idx(i, j, b, tab):
-        return (jnp.maximum(tab[(i * ntx + j) * _REC + 4], 0), 0, 0)
+    def sub_idx(bi):
+        def f(i, j, b, tab):
+            return (jnp.maximum(tab[(i * ntx + j) * rec + _REC_FIXED + bi - 1], 0), 0, 0)
+        return f
+
+    sub_specs = []
+    for bi in range(1, nb):
+        sub_specs.append(pl.BlockSpec((1, th, dims.bucket_nat[bi]), sub_idx(bi)))
+        sub_specs.append(pl.BlockSpec((1, th, tw), sub_idx(bi)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        # batch innermost: tile-keyed blocks (residual fields, wild tables)
+        # batch innermost: tile-keyed blocks (residual fields, rank tables)
         # stay resident across the batch instead of re-streaming per frame.
         grid=(nty, ntx, bsz),
         in_specs=[
-            pl.BlockSpec((1, 1, TH, dims.nat), lambda i, j, b, tab: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, TH, TW), lambda i, j, b, tab: (i, j, 0, 0)),
-            pl.BlockSpec((1, TH, dims.nat), wild_idx),
-            pl.BlockSpec((1, TH, TW), wild_idx),
+            pl.BlockSpec((1, 1, th, dims.bucket_nat[0]), lambda i, j, b, tab: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, th, tw), lambda i, j, b, tab: (i, j, 0, 0)),
+            *sub_specs,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             (
-                pl.BlockSpec((1, 3, TH, TW), lambda i, j, b, tab: (b, 0, i, j)),
-                pl.BlockSpec((1, TH, TW), lambda i, j, b, tab: (b, i, j)),
+                pl.BlockSpec((1, 3, th, tw), lambda i, j, b, tab: (b, 0, i, j)),
+                pl.BlockSpec((1, th, tw), lambda i, j, b, tab: (b, i, j)),
             )
             if want_rgb
-            else (pl.BlockSpec((1, TH, TW), lambda i, j, b, tab: (b, i, j)),)
+            else (pl.BlockSpec((1, th, tw), lambda i, j, b, tab: (b, i, j)),)
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, 3, max(dims.rh, dims.rh1 if dims.nwild else 0),
-                 max(dims.rw, dims.rw1 if dims.nwild else 0) // 4),
+                (2, 3, dims.rh, dims.rw // 4),
                 jnp.int32,  # i32-packed window (4 source bytes per lane)
             ),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 3, max_chunks)),
         ],
     )
     out_shape = (
@@ -833,14 +958,14 @@ def _fused_preproc(frames, table, yres, lxres, wyres, wlxres,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(table, yres, lxres, wyres, wlxres, padded)
+    )(table, yres0, lxres0, *subs_flat, padded)
 
     def unperm(x):
-        # Kernel outputs are column-permuted WITHIN each TW-lane tile
-        # (perm col p*TW/4 + a <-> natural 4a + p); one cheap XLA relayout
+        # Kernel outputs are column-permuted WITHIN each tw-lane tile
+        # (perm col p*tw/4 + a <-> natural 4a + p); one cheap XLA relayout
         # restores natural order for the whole frame.
         lead = x.shape[:-1]
-        x = x.reshape(*lead, w // TW, 4, TW // 4)
+        x = x.reshape(*lead, w // tw, 4, tw // 4)
         x = jnp.swapaxes(x, -1, -2)
         return x.reshape(*lead, w)
 

@@ -83,19 +83,23 @@ def test_plan_cache_roundtrip(tmp_path, monkeypatch):
 
     p1 = build_remap_plan(mtx, dist, (w, h))
     p2 = build_remap_plan(mtx, dist, (w, h))  # from cache
-    assert p1.dy == p2.dy and p1.dx == p2.dx
+    assert p1.bucket_dy == p2.bucket_dy and p1.bucket_dx == p2.bucket_dx
+    assert p1.bucket_used == p2.bucket_used
     np.testing.assert_array_equal(p1.table, p2.table)
-    np.testing.assert_array_equal(p1.yres, p2.yres)
+    np.testing.assert_array_equal(p1.yres0, p2.yres0)
+    for a, b in zip(p1.sub_yres, p2.sub_yres):
+        np.testing.assert_array_equal(a, b)
 
 
 def test_wild_bucket_matches_cv2_chain():
-    """Force tiles into the wild bucket (tiny tame caps) and check parity."""
+    """Force tiles into the non-calm buckets (tiny calm caps) and check
+    parity."""
     from apse_uav_tpu.preproc import pallas_remap as pr
 
     h, w = 16 * 6, 256 * 2
     mtx, dist = _scaled_cam(w, h)
-    plan = pr.build_remap_plan(mtx, dist, (w, h), max_dy=5, max_dx=5, cache=False)
-    assert len(plan.wild_yx) > 0, "test setup: expected wild tiles"
+    plan = pr.build_remap_plan(mtx, dist, (w, h), bucket_spans=((3.0, 3.0),), cache=False)
+    assert plan.bucket_used[-1], "test setup: expected wild tiles"
 
     yy, xx = np.mgrid[0:h, 0:w]
     img = np.stack(
