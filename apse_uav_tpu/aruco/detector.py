@@ -48,6 +48,12 @@ class DetectorParams:
     # that markers' own interiors generate cannot crowd a genuine 40 px quad
     # out of the candidate set (the round-2 veh2 recall flap).
     per_scale_k: int = 6
+    # cv2's quad-size floor (reference aruco_detect.py:194): candidate
+    # perimeter >= rate * max(W, H), i.e. min side ~9.6 px at 4K.  Scales
+    # well under the floor are skipped (their quads could never pass), and
+    # decoded quads below the floor are rejected, matching cv2's behavior
+    # at every frame size.
+    min_marker_perimeter_rate: float = 0.01
     max_line_fit_mse: float = 1.5  # aprilTagMaxLineFitMse spirit (px^2)
     # Marker side in px; multiples of proposal_stride so the pooled-grid box
     # sums are exact (non-multiples get quantized by the pooling).
@@ -102,6 +108,12 @@ def _proposals(gray: Array, p: DetectorParams):
     pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
     ii = _integral(pool)  # (h4+1, w4+1)
 
+    # cv2's perimeter floor (min side = rate*max(W,H)/4): scales whose
+    # markers could never pass it are skipped (a marker at the floor still
+    # best-responds one scale down, so keep scales within 1.5x below it).
+    min_side = p.min_marker_perimeter_rate * max(h, w) / 4.0
+    scales = tuple(s for s in p.scales if s >= min_side / 1.5) or p.scales[-1:]
+
     # Dark-fraction maps need a binary image; approximate the adaptive
     # threshold by comparing *box means* directly: for a marker of side s
     # centred in the box, inner mean is much darker than the surrounding
@@ -110,7 +122,7 @@ def _proposals(gray: Array, p: DetectorParams):
     scores = []
     metas = []
     sqrt2 = 1.41421356
-    for s in p.scales:
+    for s in scales:
         s = int(s)
         ring = int(round(s * 1.8))
         if ring >= min(h, w):
@@ -652,11 +664,16 @@ class ArucoDetector:
             mse_ok = (mse < p.max_line_fit_mse) & good_refine
             marker_id, rot, bits_ok, ham = _decode_candidate(patch, corners, p)
             corners = corners + p_origin[None, :]  # back to image coords
-            is_valid = ok & quad_ok & contrast_ok & bits_ok & mse_ok & (marker_id >= 0)
             # Canonicalize corner order per dictionary rotation: OpenCV
             # returns corners starting at the canonical top-left, clockwise.
             corners = jnp.roll(corners, -rot, axis=0)
             side = jnp.mean(jnp.linalg.norm(corners - jnp.roll(corners, 1, axis=0), axis=-1))
+            # cv2's perimeter floor (minMarkerPerimeterRate * max(W, H)):
+            # quads under it are not detections — also kills degenerate
+            # near-point quads whose error-corrected decode would otherwise
+            # steal an id slot.
+            floor_ok = side >= p.min_marker_perimeter_rate * max(g.shape) / 4.0
+            is_valid = ok & quad_ok & contrast_ok & bits_ok & mse_ok & floor_ok & (marker_id >= 0)
             return corners, jnp.where(is_valid, marker_id, -1), side, ham
 
         corners, ids, sides, hams = jax.vmap(one_candidate)(centers, sizes, valid)

@@ -73,12 +73,22 @@ def init_carry(cfg: ArucoPipelineConfig) -> dict[str, Array]:
 
 
 def _slot_by_id(ids: Array, corners: Array):
-    """Fixed per-id slots: ids (K,), corners (K, 4, 2) -> (4,) bool, (4,4,2)."""
+    """Fixed per-id slots: ids (K,), corners (K, 4, 2) -> (4,) bool, (4,4,2).
+
+    When an id decodes on several candidates (a genuine marker plus an
+    error-corrected false positive elsewhere — the reference notes FPs
+    happen at errorCorrectionRate=2.0 and filters them with its temporal
+    gate over ALL candidates, aruco_detect.py:197,604-723), take the
+    largest quad: FP decodes come from small sub-pattern or clutter quads.
+    """
+    side = jnp.sum(
+        jnp.linalg.norm(corners - jnp.roll(corners, 1, axis=1), axis=-1), axis=-1
+    )
 
     def one(vid):
         mask = ids == vid
         present = jnp.any(mask)
-        idx = jnp.argmax(mask)
+        idx = jnp.argmax(jnp.where(mask, side, -1.0))
         return present, corners[idx]
 
     present, slot_corners = jax.vmap(one)(jnp.arange(1, 5))

@@ -124,6 +124,17 @@ def _solve_pnp_planar_two(
     num_iters: int = 6,
 ):
     """Both refined planar-ambiguity poses, packed (6,) each, best first."""
+    # EVERY matmul in the solver (homography init, Gauss-Newton normal
+    # equations, basin mirror) must run at full f32: the default TPU dot is
+    # a single bf16 MXU pass, and the ill-conditioned 6x6 normal equations
+    # amplify that into diverging GN steps (a 100-frame parity run produced
+    # altitude +162 km from one frame's host pose on TPU while the same
+    # corners solved cleanly on CPU).
+    with jax.default_matmul_precision("highest"):
+        return _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters)
+
+
+def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
     dist14 = camera.pad_dist_coeffs(dist)
     xy_norm = camera.undistort_points(img_pts, mtx, dist, num_iters=5)
     rvec0, tvec0 = _init_pose_planar(obj_pts[:, :2], xy_norm)
@@ -183,14 +194,28 @@ def _solve_pnp_planar_two(
     # is accidentally low — selecting or averaging those poisons everything
     # downstream (a 100-frame parity run produced altitude -311 m from one
     # such frame).
+    # Depth envelope: a marker of unit side at depth z projects with side
+    # ~ fx/z; beyond z = 2*fx it would be sub-half-pixel (undetectable), so
+    # any larger depth is a diverged solve, not a pose.
+    z_max = 2.0 * mtx[0, 0]
+
     def sane(params, err):
-        return jnp.all(jnp.isfinite(params)) & jnp.isfinite(err) & (params[5] > 0)
+        return (
+            jnp.all(jnp.isfinite(params))
+            & jnp.isfinite(err)
+            & (params[5] > 0)
+            & (params[5] < z_max)
+        )
 
     sane_a = sane(params_a, err_a)
     sane_b = sane(params_b, err_b)
     take_b = sane_b & ((err_b < err_a) | ~sane_a)
     best = jnp.where(take_b, params_b, params_a)
     best_err = jnp.where(take_b, err_b, err_a)
+    # Both diverged (degenerate quad): fall back to the homography init,
+    # which is bounded by construction — garbage-but-finite beats +162 km.
+    init = jnp.concatenate([rvec0, tvec0])
+    best = jnp.where(sane_a | sane_b, best, init)
     other = jnp.where(take_b, params_a, params_b)
     other_err = jnp.where(take_b, err_a, err_b)
     # The genuine second basin sits at nearly the same range with a residual
