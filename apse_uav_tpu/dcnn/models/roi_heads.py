@@ -79,8 +79,13 @@ class BoxHead(nn.Module):
         x = x.reshape(n, -1).astype(self.dtype)
         for i in range(self.num_fc):
             x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
-        scores = nn.Dense(self.num_classes + 1, name="cls_score")(x)
-        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred")(x)
+        # detectron2 FastRCNNOutputLayers init: cls normal(0.01), box
+        # normal(0.001) (modeling/roi_heads/fast_rcnn.py) — near-uniform
+        # class prior and near-identity box regression at step 0.
+        scores = nn.Dense(self.num_classes + 1, name="cls_score",
+                          kernel_init=nn.initializers.normal(0.01))(x)
+        deltas = nn.Dense(self.num_classes * 4, name="bbox_pred",
+                          kernel_init=nn.initializers.normal(0.001))(x)
         return scores, deltas.reshape(n, self.num_classes, 4)
 
 
@@ -103,7 +108,9 @@ class MaskHead(nn.Module):
         x = nn.relu(
             nn.ConvTranspose(self.conv_dim, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv")(x)
         )
-        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="predictor")(x)
+        # detectron2 predictor init: normal(std=0.001) (mask_head.py).
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="predictor",
+                    kernel_init=nn.initializers.normal(0.001))(x)
         return jnp.transpose(x, (0, 3, 1, 2))  # (N, K, 2R, 2R)
 
 

@@ -73,9 +73,16 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: dict[str, Array]) -> tuple[dict[str, Array], dict[str, Array]]:
-        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv")
-        obj_conv = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="objectness")
-        delta_conv = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="deltas")
+        # detectron2 StandardRPNHead init (modeling/proposal_generator/rpn.py):
+        # normal(std=0.01), zero bias, for all three convs.  Large inits put
+        # the initial logits deep in BCE saturation, and one saturated epoch
+        # can collapse the shared conv's ReLU to identically zero — after
+        # which no gradient ever reaches it again (observed with the flax
+        # default on unit-free features; the head never recovered).
+        init = nn.initializers.normal(0.01)
+        conv = nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype, name="conv", kernel_init=init)
+        obj_conv = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="objectness", kernel_init=init)
+        delta_conv = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="deltas", kernel_init=init)
         logits, deltas = {}, {}
         for name, x in feats.items():
             t = nn.relu(conv(x))

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
-def _bilinear_gather_hwc(feat_hwc: Array, ys: Array, xs: Array) -> Array:
+def _bilinear_gather_hwc(feat_hwc: Array, ys: Array, xs: Array, plane: Array | None = None) -> Array:
     """feat (H, W, C); ys/xs (S,) sample coords -> (S, C).
 
     Channels-last row gathers: each sampled index fetches one CONTIGUOUS
@@ -32,6 +32,13 @@ def _bilinear_gather_hwc(feat_hwc: Array, ys: Array, xs: Array) -> Array:
 
     torchvision border behavior: samples with y or x in [-1, H/W] are clamped
     to the border; samples outside that band return 0.
+
+    ``plane`` (H, W), if given, modulates the features texel-wise: the result
+    equals sampling ``feat * plane[..., None]`` — bilinear interpolation is
+    linear per-texel, so gathering the 1-channel plane at the same indices
+    and multiplying before the weighted combine is exact, without ever
+    materializing the (H, W, C) product.  This is how mask-cropped ROI
+    features (rcnn_tracker.py:156-189) avoid a per-detection full-map copy.
     """
     h, w, c = feat_hwc.shape
     out_of_range = (ys < -1.0) | (ys > h * 1.0) | (xs < -1.0) | (xs > w * 1.0)
@@ -48,16 +55,25 @@ def _bilinear_gather_hwc(feat_hwc: Array, ys: Array, xs: Array) -> Array:
     y1i = y1.astype(jnp.int32)
     x1i = x1.astype(jnp.int32)
     flat = feat_hwc.reshape(h * w, c)
-    p00 = jnp.take(flat, y0i * w + x0i, axis=0)
-    p01 = jnp.take(flat, y0i * w + x1i, axis=0)
-    p10 = jnp.take(flat, y1i * w + x0i, axis=0)
-    p11 = jnp.take(flat, y1i * w + x1i, axis=0)
-    val = (
-        p00 * ((1 - ly) * (1 - lx))[:, None]
-        + p01 * ((1 - ly) * lx)[:, None]
-        + p10 * (ly * (1 - lx))[:, None]
-        + p11 * (ly * lx)[:, None]
-    )
+    i00 = y0i * w + x0i
+    i01 = y0i * w + x1i
+    i10 = y1i * w + x0i
+    i11 = y1i * w + x1i
+    p00 = jnp.take(flat, i00, axis=0)
+    p01 = jnp.take(flat, i01, axis=0)
+    p10 = jnp.take(flat, i10, axis=0)
+    p11 = jnp.take(flat, i11, axis=0)
+    w00 = (1 - ly) * (1 - lx)
+    w01 = (1 - ly) * lx
+    w10 = ly * (1 - lx)
+    w11 = ly * lx
+    if plane is not None:
+        pf = plane.reshape(-1)
+        w00 = w00 * jnp.take(pf, i00)
+        w01 = w01 * jnp.take(pf, i01)
+        w10 = w10 * jnp.take(pf, i10)
+        w11 = w11 * jnp.take(pf, i11)
+    val = p00 * w00[:, None] + p01 * w01[:, None] + p10 * w10[:, None] + p11 * w11[:, None]
     return jnp.where(out_of_range[:, None], 0.0, val)
 
 
@@ -71,8 +87,13 @@ def roi_align_hwc(
     spatial_scale: float = 1.0,
     sampling_ratio: int = 2,
     aligned: bool = False,
+    plane: Array | None = None,
 ) -> Array:
-    """feat (H, W, C), boxes (N, 4) xyxy in image coords -> (N, C, oh, ow)."""
+    """feat (H, W, C), boxes (N, 4) xyxy in image coords -> (N, C, oh, ow).
+
+    ``plane`` (H, W) optionally modulates the features texel-wise (exactly
+    ``roi_align(feat * plane[..., None])`` — see :func:`_bilinear_gather_hwc`).
+    """
     if isinstance(output_size, int):
         oh = ow = output_size
     else:
@@ -101,7 +122,7 @@ def roi_align_hwc(
         xs = (x1 + ix * bin_w).reshape(-1)  # (ow*s,)
         yy = jnp.repeat(ys, ow * s)  # (oh*s*ow*s,)
         xx = jnp.tile(xs, oh * s)
-        vals = _bilinear_gather_hwc(feat_hwc, yy, xx)  # (S, C)
+        vals = _bilinear_gather_hwc(feat_hwc, yy, xx, plane)  # (S, C)
         vals = vals.reshape(oh, s, ow, s, c).mean(axis=(1, 3))  # (oh, ow, C)
         return jnp.transpose(vals, (2, 0, 1))  # (C, oh, ow)
 

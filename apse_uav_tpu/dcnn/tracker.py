@@ -71,14 +71,19 @@ def detection_embeddings(
     h4, w4, c = feats_p2.shape
     spatial_scale = w4 / image_hw[1]
     if crop_features:
-        # Mask-crop: paste detection masks at p2 resolution, multiply.
+        # Mask-crop: paste detection masks at p2 resolution, multiply.  The
+        # multiply rides INSIDE roi_align as a texel-wise modulation plane
+        # (exact — bilinear is linear per-texel): materializing
+        # feats_p2 * mask per detection would be a (D, H4, W4, C) tensor,
+        # ~2 GB per 4K frame at D=32.
         masks_p2 = jax.vmap(
             lambda m, b: paste_mask_lowres(m, b, (h4, w4), image_hw)
         )(det["masks"], det["boxes"])  # (D, H4, W4)
-        cropped = feats_p2[None] * masks_p2[..., None]  # (D, H4, W4, C)
         rois = jax.vmap(
-            lambda f, b: roi_align_hwc(f, b[None], roi_size, spatial_scale, 4, False)[0]
-        )(cropped, det["boxes"])  # (D, C, R, R)
+            lambda m, b: roi_align_hwc(
+                feats_p2, b[None], roi_size, spatial_scale, 4, False, plane=m
+            )[0]
+        )(masks_p2, det["boxes"])  # (D, C, R, R)
     else:
         rois = roi_align_hwc(feats_p2, det["boxes"], roi_size, spatial_scale, 4, False)
     head = AssociationHead(embedding_dim=embedding_dim)
