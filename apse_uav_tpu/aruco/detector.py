@@ -484,7 +484,25 @@ def _refine_edges(
         peak = jnp.argmax(gmag, axis=1)
         reliable = (peak > 0) & (peak < gmag.shape[1] - 1)
         wsum = jnp.maximum(jnp.sum(gmag, axis=1), 1e-6)
-        off = jnp.sum(gmag * pos[None, :], axis=1) / wsum * step  # (P,)
+        # Localize the crossing around the gradient PEAK, not the whole
+        # profile: at small markers (border ~5 px < tap reach) the interior
+        # bit cells put gradient mass on the inner side, and a full-profile
+        # centroid drags the line ~0.1 px inward — a 0.5% marker-size bias
+        # that propagates to altitude (tz ∝ f·L/size) and every
+        # meters-per-pixel distance column.  Parabolic interpolation of the
+        # magnitude peak over its ±1 neighbours is immune to that mass.
+        nseg = gmag.shape[1]
+        pc = jnp.clip(peak, 1, nseg - 2)
+        idx = jnp.arange(nseg)[None, :]
+        g_m1 = jnp.sum(jnp.where(idx == (pc - 1)[:, None], gmag, 0.0), axis=1)
+        g_0 = jnp.sum(jnp.where(idx == pc[:, None], gmag, 0.0), axis=1)
+        g_p1 = jnp.sum(jnp.where(idx == (pc + 1)[:, None], gmag, 0.0), axis=1)
+        denom = g_m1 - 2.0 * g_0 + g_p1
+        delta = jnp.where(jnp.abs(denom) > 1e-6,
+                          0.5 * (g_m1 - g_p1) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1.0),
+                          0.0)
+        delta = jnp.clip(delta, -0.75, 0.75)
+        off = (pos[0] + pc.astype(jnp.float32) + delta) * step  # (P,)
         edge_pts = pts + nvec[None, :] * off[:, None]
         wts = jnp.where(reliable, wsum, 0.0)
         wts = jnp.where(jnp.sum(wts) > 1e-6, wts, wsum)  # fallback: keep all

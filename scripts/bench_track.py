@@ -19,13 +19,19 @@ sys.path.insert(0, REPO)
 
 
 def timed(fn, arg, iters=8, warmup=2):
+    # Flush with a SCALAR host read: np.asarray(arg) would drag the whole
+    # chained buffer (hundreds of MB for p2 features) through the ~25 MB/s
+    # tunnel inside the timed region and swamp the device time.
+    def flush(a):
+        return float(np.asarray(a.ravel()[:1])[0])
+
     for _ in range(warmup):
         arg = fn(arg)
-    _ = float(np.asarray(arg).reshape(-1)[0])
+    flush(arg)
     t0 = time.perf_counter()
     for _ in range(iters):
         arg = fn(arg)
-    _ = float(np.asarray(arg).reshape(-1)[0])
+    flush(arg)
     return (time.perf_counter() - t0) / iters
 
 
