@@ -242,6 +242,13 @@ def main():
                     help="reuse frames already in workdir")
     args = ap.parse_args()
 
+    if args.force_cpu:
+        # The renderer also runs JAX (utils.synthetic jitted scene grids);
+        # force CPU in THIS process too, or a dead TPU tunnel hangs the
+        # render step before the flag ever reaches the CLI subprocess.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
     os.makedirs(args.workdir, exist_ok=True)
     frames_dir = os.path.join(args.workdir, "frames")
     if not args.skip_render:
