@@ -92,41 +92,81 @@ def _box_sum_unit(ii: Array, ny: int, nx: int, size_y: int, size_x: int) -> Arra
     )
 
 
+def _decimation(s: int, st: int) -> int:
+    """Largest power-of-2 grid decimation keeping origin stride <= s/8 px.
+
+    Score-map resolution is made proportional to the scale: a marker of side
+    s needs its candidate centre located only to ~s/4 (the quad-extraction
+    window spans 2.4*s), so evaluating large scales at unit stride on the
+    pooled grid wastes both box-sum and dilation traffic quadratically.
+    The stride bound is s/8, not s/4: box-origin misalignment of half a
+    grid cell bleeds white margin into the inner box and dark marker corners
+    into the ring, degrading the score by up to ~2x the slack fraction —
+    at s/8 the slack is s/16 (~6%), harmless; at s/4 it suppressed genuine
+    47 px markers at high yaw (the round-2 veh2 flap regime) below their
+    own sub-pattern responses.
+    """
+    q = 1
+    while q * 2 * 8 * st <= s:
+        q *= 2
+    return q
+
+
 def _proposals(gray: Array, p: DetectorParams):
     """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,).
 
     TPU layout: the image is first mean-pooled by ``proposal_stride`` (a
-    reshape-reduce), the integral image is built on the SMALL grid, and all
-    box sums are unit-stride static slices — proposal origins land on the
-    same stride grid as before with box extents quantized to the stride
-    (the candidate refinement stages absorb the quantization).
+    reshape-reduce) and then into a power-of-2 mean pyramid; each scale s is
+    scored on the pyramid level whose origin stride is <= s/4 px (exact
+    inner-box extents — the scale ladder is made of multiples of the level
+    strides), so all box sums are unit-stride static slices on grids that
+    SHRINK with the scale, and every dilation radius collapses to <= 3
+    coarse cells.  Cross-scale non-max suppression resamples adjacent
+    scales' dilated maps between neighbouring pyramid levels (ratio <= 2).
     """
     h, w = gray.shape
     st = p.proposal_stride
     g = gray.astype(jnp.float32)
     h4, w4 = h // st, w // st
     pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
-    ii = _integral(pool)  # (h4+1, w4+1)
 
     # cv2's perimeter floor (min side = rate*max(W,H)/4): scales whose
     # markers could never pass it are skipped (a marker at the floor still
     # best-responds one scale down, so keep scales within 1.5x below it).
     min_side = p.min_marker_perimeter_rate * max(h, w) / 4.0
-    scales = tuple(s for s in p.scales if s >= min_side / 1.5) or p.scales[-1:]
+    scales = tuple(int(s) for s in p.scales if s >= min_side / 1.5) or (
+        int(p.scales[-1]),
+    )
+
+    # Mean pyramid over the pooled image (edge-padded to even sizes so every
+    # level fully covers the frame).
+    max_q = max(_decimation(s, st) for s in scales)
+    pools = {1: pool}
+    q = 1
+    while q < max_q:
+        prev = pools[q]
+        ph, pw = prev.shape
+        ph2, pw2 = -(-ph // 2) * 2, -(-pw // 2) * 2
+        pp = jnp.pad(prev, ((0, ph2 - ph), (0, pw2 - pw)), mode="edge")
+        pools[q * 2] = pp.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+        q *= 2
+    integrals = {lq: _integral(im) for lq, im in pools.items()}
 
     # Dark-fraction maps need a binary image; approximate the adaptive
     # threshold by comparing *box means* directly: for a marker of side s
     # centred in the box, inner mean is much darker than the surrounding
     # ring mean.  This is contrast-normalized below.
-    ny, nx = h4, w4
-    scores = []
-    metas = []
+    per_scale = []  # dicts: score, dil, q, size, off_px
     sqrt2 = 1.41421356
     for s in scales:
-        s = int(s)
         ring = int(round(s * 1.8))
         if ring >= min(h, w):
             continue
+        lq = _decimation(s, st)
+        unit = st * lq  # px per grid cell at this level
+        pimg = pools[lq]
+        ii = integrals[lq]
+        nyq, nxq = pimg.shape
         # ROTATION-ROBUST boxes: inner box of side s (captures the marker's
         # black border at any yaw — the inscribed square would miss it for
         # white-heavy codes); the outer ring starts at the CIRCUMSCRIBED
@@ -134,12 +174,14 @@ def _proposals(gray: Array, p: DetectorParams):
         # ring at s leaked the rotated marker's dark corners into the
         # "bright surround", shifting the best-scoring scale to a
         # sub-pattern size and breaking quad extraction downstream.)
-        sc_in = max(s // st, 1)
-        sc_mid = max(int(round(s * sqrt2 / st)), sc_in + 1)
-        sc_ring = max(int(round(ring / st)), sc_mid + 1)
-        n_y_i, n_x_i = h4 - sc_in + 1, w4 - sc_in + 1
-        n_y_m, n_x_m = h4 - sc_mid + 1, w4 - sc_mid + 1
-        n_y_r, n_x_r = h4 - sc_ring + 1, w4 - sc_ring + 1
+        sc_in = max(s // unit, 1)
+        sc_mid = max(int(round(s * sqrt2 / unit)), sc_in + 1)
+        sc_ring = max(int(round(ring / unit)), sc_mid + 1)
+        if sc_ring >= min(nyq, nxq):
+            continue
+        n_y_i, n_x_i = nyq - sc_in + 1, nxq - sc_in + 1
+        n_y_m, n_x_m = nyq - sc_mid + 1, nxq - sc_mid + 1
+        n_y_r, n_x_r = nyq - sc_ring + 1, nxq - sc_ring + 1
         inner_m = _box_sum_unit(ii, n_y_i, n_x_i, sc_in, sc_in) / float(sc_in * sc_in)
         mid_sum = _box_sum_unit(ii, n_y_m, n_x_m, sc_mid, sc_mid)
         ring_sum = _box_sum_unit(ii, n_y_r, n_x_r, sc_ring, sc_ring)
@@ -157,13 +199,18 @@ def _proposals(gray: Array, p: DetectorParams):
         contrast = jnp.maximum(outer_mean - inner_c, 0.0)
         # Score: dark inner vs bright surround, contrast-gated.
         sc = jnp.where(contrast >= p.min_white_black_diff, contrast / 255.0, 0.0)
-        # Pad to a common fixed grid so scales stack.
-        sc_full = jnp.zeros((ny, nx), jnp.float32)
+        # Pad to this level's fixed grid.
+        sc_full = jnp.zeros((nyq, nxq), jnp.float32)
         sc_full = jax.lax.dynamic_update_slice(sc_full, sc, (0, 0))
-        scores.append(sc_full)
-        # Candidate centre on this grid: ring-box origin + ring/2.
-        metas.append((s, off_in * st + sc_in * st / 2.0))
-    stack = jnp.stack(scores)  # (S, ny, nx)
+        per_scale.append(
+            dict(
+                score=sc_full,
+                q=lq,
+                size=float(s),
+                off=off_in * unit + sc_in * unit / 2.0,
+                unit=unit,
+            )
+        )
 
     # Scale-proportional non-max suppression: dilate each scale's score map
     # by ~half its marker size, then keep positions that win against every
@@ -194,47 +241,81 @@ def _proposals(gray: Array, p: DetectorParams):
             done += d
         return a
 
-    dilated = [
-        dilate_sq(stack[si], max(int(size_px) // st // 2, 1))
-        for si, (size_px, _) in enumerate(metas)
-    ]
+    for e in per_scale:
+        # ceil(s / (2 * unit)): coverage >= s/2 px at every level.
+        r_d = max(-(-int(e["size"]) // (2 * e["unit"])), 1)
+        e["dil"] = dilate_sq(e["score"], r_d)
+
+    def to_level(src, src_q, dst_q, dst_shape):
+        """Resample a dilated map between adjacent pyramid levels.
+
+        Finer -> coarser: max-pool (the coarse cell's test sees the max over
+        its block — those positions are within the dilation radius anyway).
+        Coarser -> finer: nearest upsample (bounded over-suppression, < one
+        coarse cell — far below the physical inter-marker distance)."""
+        if src_q < dst_q:
+            r = dst_q // src_q
+            sh, sw = src.shape
+            ph, pw = -(-sh // r) * r, -(-sw // r) * r
+            mp = jnp.pad(src, ((0, ph - sh), (0, pw - sw)), constant_values=-jnp.inf)
+            m = mp.reshape(ph // r, r, pw // r, r).max(axis=(1, 3))
+        elif src_q > dst_q:
+            r = src_q // dst_q
+            m = jnp.repeat(jnp.repeat(src, r, axis=0), r, axis=1)
+        else:
+            m = src
+        dh, dw = dst_shape
+        m = m[:dh, :dw]
+        if m.shape != (dh, dw):
+            m = jnp.pad(
+                m,
+                ((0, dh - m.shape[0]), (0, dw - m.shape[1])),
+                constant_values=-jnp.inf,
+            )
+        return m
+
     # Adjacent-scale suppression only: a genuine marker responding best at a
     # far-away scale (sub-pattern vs whole marker) keeps both candidates and
     # the post-decode dedup picks the real quad.
-    ns = len(dilated)
-    cross = [
-        jnp.max(jnp.stack(dilated[max(si - 1, 0) : min(si + 2, ns)]), axis=0)
-        for si in range(ns)
-    ]
-    is_max = (stack >= jnp.stack(cross)) & (stack > p.score_threshold)
-    # Per-scale hierarchical top-k (group-max -> top-k groups -> top-k within,
-    # exact: any group holding a true top-k element has group-max >= it, and k
-    # higher-ranked groups would each contribute a larger element).  A global
-    # sort of the S*ny*nx (~5M) score vector is ~2 ms on v5e; this is a few
-    # (S, G)-sized sorts plus a small gather.
+    ns = len(per_scale)
     k = p.per_scale_k
-    ns_total = stack.shape[0]
-    flat_s = jnp.where(is_max, stack, 0.0).reshape(ns_total, -1)
     gsz = 2048
-    padn = (-flat_s.shape[1]) % gsz
-    groups = jnp.pad(flat_s, ((0, 0), (0, padn)), constant_values=-1.0).reshape(
-        ns_total, -1, gsz
-    )
-    if groups.shape[1] < k:  # small frames: the per-scale flat sort is cheap
-        vals, idx = jax.lax.top_k(flat_s, k)  # (S, k)
-    else:
-        _, gidx = jax.lax.top_k(jnp.max(groups, axis=2), k)  # (S, k)
-        sub = jnp.take_along_axis(groups, gidx[:, :, None], axis=1)  # (S, k, gsz)
-        vals, sidx = jax.lax.top_k(sub.reshape(ns_total, -1), k)
-        idx = jnp.take_along_axis(gidx, sidx // gsz, axis=1) * gsz + sidx % gsz
-    iy = (idx // nx).reshape(-1)
-    ix = (idx % nx).reshape(-1)
-    vals = vals.reshape(-1)
-    sizes = jnp.repeat(jnp.asarray([m[0] for m in metas], jnp.float32), k)
-    offs = jnp.repeat(jnp.asarray([m[1] for m in metas], jnp.float32), k)
-    # Candidate centre in image coords: grid origin + centred-box offset.
-    cy = iy.astype(jnp.float32) * st + offs
-    cx = ix.astype(jnp.float32) * st + offs
+    all_cy, all_cx, all_vals, all_sizes = [], [], [], []
+    for si, e in enumerate(per_scale):
+        shape = e["score"].shape
+        cross = e["dil"]
+        for sj in (si - 1, si + 1):
+            if 0 <= sj < ns:
+                n = per_scale[sj]
+                cross = jnp.maximum(cross, to_level(n["dil"], n["q"], e["q"], shape))
+        is_max = (e["score"] >= cross) & (e["score"] > p.score_threshold)
+        masked = jnp.where(is_max, e["score"], 0.0).reshape(-1)
+        n_flat = masked.shape[0]
+        # Hierarchical top-k on big maps (group-max -> top-k groups -> top-k
+        # within; exact: any group holding a true top-k element has
+        # group-max >= it, and k higher-ranked groups would each contribute
+        # a larger element).  Small (decimated) maps sort flat.
+        if n_flat >= 8 * gsz:
+            padn = (-n_flat) % gsz
+            groups = jnp.pad(masked, (0, padn), constant_values=-1.0).reshape(-1, gsz)
+            _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
+            sub = jnp.take_along_axis(groups, gidx[:, None], axis=0)  # (k, gsz)
+            vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
+            idx = gidx[sidx // gsz] * gsz + sidx % gsz
+        else:
+            vals, idx = jax.lax.top_k(masked, k)
+        nxq = shape[1]
+        iy = (idx // nxq).astype(jnp.float32)
+        ix = (idx % nxq).astype(jnp.float32)
+        # Candidate centre in image coords: grid origin + centred-box offset.
+        all_cy.append(iy * e["unit"] + e["off"])
+        all_cx.append(ix * e["unit"] + e["off"])
+        all_vals.append(vals)
+        all_sizes.append(jnp.full((k,), e["size"], jnp.float32))
+    cy = jnp.concatenate(all_cy)
+    cx = jnp.concatenate(all_cx)
+    vals = jnp.concatenate(all_vals)
+    sizes = jnp.concatenate(all_sizes)
     valid = vals > p.score_threshold
     return jnp.stack([cy, cx], axis=-1), sizes, vals, valid
 
