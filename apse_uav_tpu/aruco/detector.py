@@ -112,12 +112,48 @@ def _decimation(s: int, st: int) -> int:
     return q
 
 
+def _kept_scales(h: int, w: int, p: DetectorParams) -> tuple:
+    """The static per-frame-size scale ladder (shared by _proposals and the
+    candidate-stage patch grouping, so slot -> scale stays consistent).
+
+    cv2's perimeter floor (min side = rate*max(W,H)/4): scales whose
+    markers could never pass it are skipped (a marker at the floor still
+    best-responds one scale down, so keep scales within 1.5x below it);
+    scales whose surround ring exceeds the frame are skipped too.
+    """
+    min_side = p.min_marker_perimeter_rate * max(h, w) / 4.0
+    scales = tuple(int(s) for s in p.scales if s >= min_side / 1.5) or (
+        int(p.scales[-1]),
+    )
+    scales = tuple(s for s in scales if int(round(s * 1.8)) < min(h, w))
+
+    def level_shape(q: int) -> tuple:
+        sh = (h // p.proposal_stride, w // p.proposal_stride)
+        lq = 1
+        while lq < q:
+            sh = (-(-sh[0] // 2), -(-sh[1] // 2))
+            lq *= 2
+        return sh
+
+    kept = []
+    for s in scales:
+        lq = _decimation(s, p.proposal_stride)
+        unit = p.proposal_stride * lq
+        ring = int(round(s * 1.8))
+        sc_in = max(s // unit, 1)
+        sc_mid = max(int(round(s * 1.41421356 / unit)), sc_in + 1)
+        sc_ring = max(int(round(ring / unit)), sc_mid + 1)
+        if sc_ring < min(level_shape(lq)):
+            kept.append(s)
+    return tuple(kept)
+
+
 def _proposals(gray: Array, p: DetectorParams):
     """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,).
 
     TPU layout: the image is first mean-pooled by ``proposal_stride`` (a
     reshape-reduce) and then into a power-of-2 mean pyramid; each scale s is
-    scored on the pyramid level whose origin stride is <= s/4 px (exact
+    scored on the pyramid level whose origin stride is <= s/8 px (exact
     inner-box extents — the scale ladder is made of multiples of the level
     strides), so all box sums are unit-stride static slices on grids that
     SHRINK with the scale, and every dilation radius collapses to <= 3
@@ -130,13 +166,7 @@ def _proposals(gray: Array, p: DetectorParams):
     h4, w4 = h // st, w // st
     pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
 
-    # cv2's perimeter floor (min side = rate*max(W,H)/4): scales whose
-    # markers could never pass it are skipped (a marker at the floor still
-    # best-responds one scale down, so keep scales within 1.5x below it).
-    min_side = p.min_marker_perimeter_rate * max(h, w) / 4.0
-    scales = tuple(int(s) for s in p.scales if s >= min_side / 1.5) or (
-        int(p.scales[-1]),
-    )
+    scales = _kept_scales(h, w, p)
 
     # Mean pyramid over the pooled image (edge-padded to even sizes so every
     # level fully covers the frame).
@@ -160,8 +190,6 @@ def _proposals(gray: Array, p: DetectorParams):
     sqrt2 = 1.41421356
     for s in scales:
         ring = int(round(s * 1.8))
-        if ring >= min(h, w):
-            continue
         lq = _decimation(s, st)
         unit = st * lq  # px per grid cell at this level
         pimg = pools[lq]
@@ -177,8 +205,6 @@ def _proposals(gray: Array, p: DetectorParams):
         sc_in = max(s // unit, 1)
         sc_mid = max(int(round(s * sqrt2 / unit)), sc_in + 1)
         sc_ring = max(int(round(ring / unit)), sc_mid + 1)
-        if sc_ring >= min(nyq, nxq):
-            continue
         n_y_i, n_x_i = nyq - sc_in + 1, nxq - sc_in + 1
         n_y_m, n_x_m = nyq - sc_mid + 1, nxq - sc_mid + 1
         n_y_r, n_x_r = nyq - sc_ring + 1, nxq - sc_ring + 1
@@ -733,9 +759,9 @@ class ArucoDetector:
         g = gray.astype(jnp.float32)
         centers, sizes, scores, valid = _proposals(g, p)
 
-        psize = _patch_size(*g.shape)
+        cap = _patch_size(*g.shape)
 
-        def one_candidate(center, size, ok):
+        def one_candidate(center, size, ok, psize):
             # ONE dynamic_slice per candidate; every later sampling step is
             # gather-free math inside this patch.
             patch, p_origin = _extract_patch(g, center, psize)
@@ -775,7 +801,32 @@ class ArucoDetector:
             is_valid = ok & quad_ok & contrast_ok & bits_ok & mse_ok & floor_ok & (marker_id >= 0)
             return corners, jnp.where(is_valid, marker_id, -1), side, ham
 
-        corners, ids, sides, hams = jax.vmap(one_candidate)(centers, sizes, valid)
+        # Candidate patches sized to each slot's (static) scale: the
+        # hat-function sampling matmuls in refinement/decoding cost
+        # O(psize^2) and patch DMA O(psize^2), so small-scale candidates get
+        # small patches.  Slots are laid out per-scale in ladder order, so
+        # same-psize groups are contiguous static slices of the slot arrays.
+        scales = _kept_scales(*g.shape, p)
+        k = p.per_scale_k
+        groups = []  # (start_slot, stop_slot, psize)
+        for si, s in enumerate(scales):
+            ps = cap
+            for cand_ps in (128, 256):
+                if cand_ps >= 2.4 * s and cand_ps <= cap:
+                    ps = cand_ps
+                    break
+            if groups and groups[-1][2] == ps:
+                groups[-1] = (groups[-1][0], (si + 1) * k, ps)
+            else:
+                groups.append((si * k, (si + 1) * k, ps))
+        outs = []
+        for a, b, ps in groups:
+            f = functools.partial(one_candidate, psize=ps)
+            outs.append(jax.vmap(f)(centers[a:b], sizes[a:b], valid[a:b]))
+        corners = jnp.concatenate([o[0] for o in outs])
+        ids = jnp.concatenate([o[1] for o in outs])
+        sides = jnp.concatenate([o[2] for o in outs])
+        hams = jnp.concatenate([o[3] for o in outs])
 
         # Dedup overlapping candidates.  Sub-patterns inside a marker can
         # decode (with corrections) at small scales, so prefer the larger
