@@ -66,6 +66,11 @@ class DetectorParams:
     edge_points: int = 24  # samples per edge for line fitting
     error_correction_rate: float = 2.0
     max_border_errors: float = 0.35  # maxErroneousBitsInBorderRate semantics
+    # Scale-proportional score-map decimation (see _decimation).  False
+    # forces every scale onto the full pooled grid (A/B lever: on TPU the
+    # decimated path trades a few small resample ops for quadratically less
+    # box-sum + dilation traffic; on 1-core CPU the op overhead dominates).
+    decimate: bool = True
 
 
 # ---------------------------------------------------------------------------
@@ -92,7 +97,7 @@ def _box_sum_unit(ii: Array, ny: int, nx: int, size_y: int, size_x: int) -> Arra
     )
 
 
-def _decimation(s: int, st: int) -> int:
+def _decimation(s: int, st: int, enable: bool = True) -> int:
     """Largest power-of-2 grid decimation keeping origin stride <= s/8 px.
 
     Score-map resolution is made proportional to the scale: a marker of side
@@ -106,6 +111,8 @@ def _decimation(s: int, st: int) -> int:
     47 px markers at high yaw (the round-2 veh2 flap regime) below their
     own sub-pattern responses.
     """
+    if not enable:
+        return 1
     q = 1
     while q * 2 * 8 * st <= s:
         q *= 2
@@ -137,7 +144,7 @@ def _kept_scales(h: int, w: int, p: DetectorParams) -> tuple:
 
     kept = []
     for s in scales:
-        lq = _decimation(s, p.proposal_stride)
+        lq = _decimation(s, p.proposal_stride, p.decimate)
         unit = p.proposal_stride * lq
         ring = int(round(s * 1.8))
         sc_in = max(s // unit, 1)
@@ -170,7 +177,7 @@ def _proposals(gray: Array, p: DetectorParams):
 
     # Mean pyramid over the pooled image (edge-padded to even sizes so every
     # level fully covers the frame).
-    max_q = max(_decimation(s, st) for s in scales)
+    max_q = max(_decimation(s, st, p.decimate) for s in scales)
     pools = {1: pool}
     q = 1
     while q < max_q:
@@ -190,7 +197,7 @@ def _proposals(gray: Array, p: DetectorParams):
     sqrt2 = 1.41421356
     for s in scales:
         ring = int(round(s * 1.8))
-        lq = _decimation(s, st)
+        lq = _decimation(s, st, p.decimate)
         unit = st * lq  # px per grid cell at this level
         pimg = pools[lq]
         ii = integrals[lq]
