@@ -620,7 +620,15 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
     return r8, g8, b8, jnp.clip(gray, 0.0, 255.0)
 
 
-def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
+def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
+                 debug_mode: str = "full"):
+    """debug_mode isolates kernel cost components for profiling ablations
+    (scripts/bench_preproc_ablate.py); outputs are WRONG except in "full":
+
+    - "full": production kernel.
+    - "no_lab": resample runs, LAB gamma roundtrip replaced by a channel mean.
+    - "dma_only": window DMA + unpack only (timing floor: DMA + grid overhead).
+    """
     th, tw = dims.th, dims.tw
     rh, rw = dims.rh, dims.rw
     nty, ntx = dims.height // th, dims.width // tw
@@ -743,7 +751,11 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
                 jnp.clip(jnp.round(jnp.concatenate(outs[ch], axis=1)), 0.0, 255.0)
                 for ch in range(3)
             ]
-            c0, c1, c2, gray = lab_gamma_gray_f32(planes_out[0], planes_out[1], planes_out[2], gamma)
+            if debug_mode == "no_lab":
+                gray = (planes_out[0] + planes_out[1] + planes_out[2]) * (1.0 / 3.0)
+                c0, c1, c2 = planes_out
+            else:
+                c0, c1, c2, gray = lab_gamma_gray_f32(planes_out[0], planes_out[1], planes_out[2], gamma)
             if want_rgb:
                 out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
                 out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
@@ -768,6 +780,15 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True):
                 [((p32 >> (8 * k)) & 255).astype(jnp.float32) for k in range(4)],
                 axis=1,
             )  # (rows_, nat_)
+
+        if debug_mode == "dma_only":
+            w32 = s_u8[slot, 0, 0:th, 0 : tw // 4]
+            g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
+            if want_rgb:
+                for ch in range(3):
+                    out_ref[0, ch] = g.astype(jnp.uint8)
+            gray_ref[0] = g.astype(jnp.uint8)
+            return
 
         # Per-bucket bodies.  Exactly one branch runs per tile: bucket 0
         # (calm) when no rank column matches, else the ranked bucket.
@@ -841,7 +862,7 @@ class PallasPreprocessor:
     """
 
     def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False,
-                 want_rgb: bool = True, plan: RemapPlan | None = None):
+                 want_rgb: bool = True, plan: RemapPlan | None = None, debug_mode: str = "full"):
         self.plan = plan if plan is not None else build_remap_plan(mtx, dist, size_wh)
         self.gamma = float(gamma)
         self.interpret = interpret
@@ -849,6 +870,7 @@ class PallasPreprocessor:
         # (the detection pipeline consumes only gray) — one less full-frame
         # HBM write per frame.
         self.want_rgb = want_rgb
+        self.debug_mode = debug_mode  # see _make_kernel — profiling ablations
         p = self.plan
         self._table = jnp.asarray(p.table)
         # The kernel runs in deinterleaved lane space (4-byte unpack of the
@@ -874,13 +896,14 @@ class PallasPreprocessor:
         return _fused_preproc(
             frames, self._table, self._yres0, self._lxres0, subs_flat,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
-            want_rgb=self.want_rgb,
+            want_rgb=self.want_rgb, debug_mode=self.debug_mode,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb"))
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode"))
 def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
-                   *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True):
+                   *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
+                   debug_mode: str = "full"):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
     bsz, _, h, w = frames.shape
@@ -903,7 +926,7 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
          (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
     )
     nty, ntx = h // th, w // tw
-    kernel = _make_kernel(dims, gamma, want_rgb)
+    kernel = _make_kernel(dims, gamma, want_rgb, debug_mode)
     nb = len(dims.bucket_dy)
     rec = _REC_FIXED + nb - 1
     max_chunks = dims.rh // CHUNK_ROWS
