@@ -100,6 +100,18 @@ def test_detects_all_markers_matching_cv2(scene, cam):
         assert err < 1.5, (i, err)
 
 
+def test_detect_full_resolution_fallback(scene):
+    """decimate=False (every scale on the full pooled grid — the A/B lever
+    for TPU profiling) must find the same markers as the default path."""
+    from apse_uav_tpu.aruco.detector import DetectorParams
+
+    _, gray = scene
+    det = ArucoDetector(DetectorParams(decimate=False))
+    _, ids = det.detect(jnp.asarray(gray))
+    ids = np.asarray(ids)
+    assert set(ids[ids >= 0].tolist()) >= {1, 2, 3, 4}
+
+
 def test_detect_batched(scene):
     _, gray = scene
     det = ArucoDetector()
