@@ -224,12 +224,17 @@ class ArucoPipeline:
 
             # --- host branch: altitude, marker length, size avg, LEDs -------
             altitude_raw = tvec[3, 2]
-            # Fallback (aruco_detect.py:639-642): host absent -> altitude from
-            # the last processed marker (highest present id here).
-            any_other = jnp.any(present[:3])
-            fb_idx = 2 - jnp.argmax(jnp.flip(present[:3]))
+            # Fallback (aruco_detect.py:639-642): `[4] not in ids` is checked
+            # AFTER the FP gate mutates a failed host id to -1, so it fires
+            # whenever the host is not MEASURED (absent, newly acquired, or
+            # gate-failed), and the altitude comes from the last marker still
+            # in cv2's detection-order list — which can be the FP'd host
+            # entry itself.  Order is cv2-internal; we approximate with the
+            # highest present vehicle id, else the host's own pose.
+            any_veh = jnp.any(present[:3])
+            fb_idx = jnp.where(any_veh, 2 - jnp.argmax(jnp.flip(present[:3])), 3)
             alt_fb = tvec[fb_idx, 2]
-            use_fb = ~present[3] & any_other
+            use_fb = ~host & (any_veh | present[3])
             altitude_eff = jnp.where(host, altitude_raw, jnp.where(use_fb, alt_fb, carry["altitude_real"] * geo.MARKER_DIV))
             update_len = host | use_fb
             marker_length = jnp.where(update_len, geo.marker_length_correction(altitude_eff), carry["marker_length"])

@@ -248,3 +248,69 @@ def test_pipeline_centroid_data_comparison(cam, sequence):
         d_px_b = np.hypot(lidar_xy[0] - (cx + 6), lidar_xy[1] - (cy + 4))
         want_b = d_px_b * ml / ((msp[3] + msp[v - 1]) / 2)
         assert abs(out["dist_dcnn_bbox"][tlast][v - 1] - want_b) < 0.05
+
+
+def test_altitude_fallback_on_host_gate_failure(cam):
+    """The reference's altitude fallback (`[4] not in ids`,
+    aruco_detect.py:639-642) is checked AFTER the FP gate mutates a failed
+    host id to -1 — so a host that jumps past DIFF_MAX still triggers the
+    fallback, and altitude/markerLength update from another marker's pose
+    that frame.  Drive pipe.scan with a synthetic front to pin that."""
+    ms, dist = cam
+    cfg = ArucoPipelineConfig(use_pallas_preproc=False)
+    pipe = ArucoPipeline(ms, dist, (W, H), cfg)
+
+    T = 3
+    from apse_uav_tpu.aruco import geometry as geo
+
+    def front_fields():
+        present = np.zeros((T, 4), bool)
+        cx = np.zeros((T, 4), np.float32)
+        cy = np.zeros((T, 4), np.float32)
+        msp = np.full((T, 4), 50.0, np.float32)
+        utv = np.zeros((T, 4, 3), np.float32)
+        # Frame 0: host only, unit-depth 20 (altitude ~ 20 * L).
+        present[0, 3] = True
+        cx[0, 3] = cy[0, 3] = 100.0
+        utv[0, 3, 2] = 20.0
+        # Frame 1: host jumps 500 px (diff >> DIFF_MAX -> gate fails), veh1
+        # present with a DIFFERENT unit depth -> altitude must follow veh1.
+        present[1, 3] = True
+        cx[1, 3] = cy[1, 3] = 600.0
+        utv[1, 3, 2] = 20.0
+        present[1, 0] = True
+        cx[1, 0] = cy[1, 0] = 300.0
+        utv[1, 0, 2] = 30.0
+        # Frame 2: nothing detected -> altitude holds.
+        rv = np.zeros((T, 4, 3), np.float32)
+        rv[..., 0] = 1e-3
+        return {
+            "present": jnp.asarray(present),
+            "corners": jnp.zeros((T, 4, 4, 2), jnp.float32),
+            "rvec": jnp.asarray(rv),
+            "utvec": jnp.asarray(utv),
+            "rvec2": jnp.asarray(rv),
+            "utvec2": jnp.asarray(utv),
+            "cx": jnp.asarray(cx),
+            "cy": jnp.asarray(cy),
+            "msp": jnp.asarray(msp),
+            "gray": jnp.zeros((T, H, W), jnp.uint8),
+        }
+
+    carry = init_carry(cfg)
+    firsts = jnp.zeros(T, bool).at[0].set(True)
+    _, out = pipe.scan(carry, front_fields(), firsts, jnp.zeros((T, 17), jnp.int32))
+    alt = np.asarray(out["altitude"])
+    ml = np.asarray(out["marker_length"])
+
+    l0 = float(geo.MARKER_LENGTH_ORG)
+    alt0_exp = 20.0 * l0 / geo.MARKER_DIV
+    assert abs(alt[0] - alt0_exp) < 1e-3, alt[0]
+    l1 = float(geo.marker_length_correction(20.0 * l0))
+    alt1_exp = 30.0 * l1 / geo.MARKER_DIV
+    assert abs(alt[1] - alt1_exp) < 1e-3, (alt[1], alt1_exp)
+    # markerLength updated from veh1's altitude on the fallback frame.
+    l2 = float(geo.marker_length_correction(30.0 * l1))
+    assert abs(ml[1] - l2) < 1e-6
+    # Frame 2: stale hold.
+    assert abs(alt[2] - alt1_exp) < 1e-6 and abs(ml[2] - l2) < 1e-9
