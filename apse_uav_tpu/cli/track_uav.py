@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--stop_frame", type=int, default=None)
     p.add_argument("--batch", type=int, default=4, help="frames per detector batch")
+    p.add_argument("--bf16", action="store_true", help="bf16 backbone/head compute (f32 params; ~2x MXU throughput)")
     p.add_argument("--preprocess", default=None, help="cam_params.json: undistort+gamma frames first (visualize_uav.py preprocess_img)")
     return p
 
@@ -82,6 +83,8 @@ def main(argv=None) -> int:
     make = mask_rcnn_r50_fpn if args.depth == 50 else mask_rcnn_r101_fpn
     cfg = make(num_classes=args.num_classes)
     cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=args.confidence))
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
 
     frames = _frames(args)
     first_idx, first = next(frames)

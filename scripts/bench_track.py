@@ -6,7 +6,7 @@ embeddings (ROI features + association head), the association scan
 (Hungarian + track-state update), and the full engine.
 
 Usage: python scripts/bench_track.py [stage ...]
-Stages: detect embed scan engine  (default: all)
+Stages: detect embed scan engine engine_bf16  (default: all)
 """
 
 import sys
@@ -48,7 +48,7 @@ def main():
     from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
     from apse_uav_tpu.dcnn.engines import TrackPredictor
 
-    stages = sys.argv[1:] or ["detect", "embed", "scan", "engine"]
+    stages = sys.argv[1:] or ["detect", "embed", "scan", "engine", "engine_bf16"]
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
     orig_hw = (2160, 3840) if on_tpu else (432, 768)
@@ -125,6 +125,20 @@ def main():
             _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
             return fr + (recents["boxes"].sum()).astype(jnp.uint8)
         report("engine", timed(s_all, frames))
+
+    if "engine_bf16" in stages:
+        cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+        pred16 = TrackPredictor(cfg16, params, orig_hw)
+
+        @jax.jit
+        def s_all16(fr):
+            d, f = pred16._infer_impl(pred16.params, fr)
+            def step(s, xs):
+                det, ff = xs
+                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
+            _, recents = jax.lax.scan(step, state0, (d, f["p2"].astype(jnp.float32)))
+            return fr + (recents["boxes"].sum()).astype(jnp.uint8)
+        report("engine_bf16", timed(s_all16, frames))
 
 
 if __name__ == "__main__":
