@@ -621,13 +621,18 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
 
 
 def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
-                 debug_mode: str = "full"):
+                 debug_mode: str = "full", fsteps: int = 1):
     """debug_mode isolates kernel cost components for profiling ablations
     (scripts/bench_preproc_ablate.py); outputs are WRONG except in "full":
 
     - "full": production kernel.
     - "no_lab": resample runs, LAB gamma roundtrip replaced by a channel mean.
     - "dma_only": window DMA + unpack only (timing floor: DMA + grid overhead).
+
+    fsteps: frames per grid step (the batch grid axis covers bsz // fsteps
+    blocks).  Amortizes the fixed per-step cost (grid bookkeeping, bucket
+    branch dispatch) over several frames of the SAME tile; window DMA and
+    compute scale with fsteps, so the win is exactly the per-step overhead.
     """
     th, tw = dims.th, dims.tw
     rh, rw = dims.rh, dims.rw
@@ -668,11 +673,12 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             ox4 = pl.multiple_of(tab_ref[base + 1] // 4, ALIGN_X // 4)
             return [
                 pltpu.make_async_copy(
-                    src_ref.at[bb, ch, pl.ds(oy + k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(ox4, rw4)],
-                    s_u8.at[slot_, ch, pl.ds(k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(0, rw4)],
-                    sem.at[slot_, ch, k],
+                    src_ref.at[bb * fsteps + f, ch, pl.ds(oy + k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(ox4, rw4)],
+                    s_u8.at[slot_, f, ch, pl.ds(k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(0, rw4)],
+                    sem.at[slot_, f, ch, k],
                 )
                 for ch in range(3)
+                for f in range(fsteps)
             ]
 
         def _chunked(slot_, sstep, op):
@@ -707,7 +713,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
         shifty = tab_ref[base + 2]
         qx_shift = tab_ref[base + 3]  # packed-lane roll (i32 words)
 
-        def resample(src_rows, yres_p, lxres_p, dy_, dx_, nat_, rows_):
+        def resample(src_rows, yres_p, lxres_p, dy_, dx_, nat_, rows_, fi=0):
             """Two-pass shift-MAC resample + LAB gamma + writes.
 
             Roll-early, deinterleaved: the PACKED window is aligned with
@@ -728,7 +734,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             # compiler CSEs the channel-independent weights and keeps all
             # dy_ (or dx_*4) of them live at once, blowing the 16 MB
             # scoped-VMEM stack for the wild bucket's long chains.
-            ss = [src_rows(ch, nat_, rows_) for ch in range(3)]
+            ss = [src_rows(fi, ch, nat_, rows_) for ch in range(3)]
             vs = [jnp.zeros((th, nat_), jnp.float32) for _ in range(3)]
             for d in range(dy_):
                 w_d = jnp.maximum(0.0, 1.0 - jnp.abs(yres_p - float(d)))
@@ -757,21 +763,21 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             else:
                 c0, c1, c2, gray = lab_gamma_gray_f32(planes_out[0], planes_out[1], planes_out[2], gamma)
             if want_rgb:
-                out_ref[0, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
-                out_ref[0, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
-                out_ref[0, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
-            gray_ref[0] = gray.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[fi, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[fi, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[fi, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
+            gray_ref[fi] = gray.astype(jnp.int32).astype(jnp.uint8)
 
         wait_for(slot, step)
 
-        def rows(ch, nat_, rows_):
+        def rows(fi, ch, nat_, rows_):
             # Align the PACKED window with cyclic rolls (4 bytes/lane ==
             # cheap), slice to the consumed span, then unpack into
             # deinterleaved byte planes: post-roll natural column 4a + p is
             # byte p (little-endian) of packed lane a.  (The roll's byte
             # residue is absorbed into the horizontal residuals on the
             # host, so no per-tile plane reorder is needed.)
-            p32 = s_u8[slot, ch, 0:rh, 0:rw4]
+            p32 = s_u8[slot, fi, ch, 0:rh, 0:rw4]
             p32 = pltpu.roll(p32, shift=shifty, axis=0)
             p32 = p32[0:rows_, :]
             p32 = pltpu.roll(p32, shift=qx_shift, axis=1)
@@ -782,12 +788,13 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             )  # (rows_, nat_)
 
         if debug_mode == "dma_only":
-            w32 = s_u8[slot, 0, 0:th, 0 : tw // 4]
-            g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
-            if want_rgb:
-                for ch in range(3):
-                    out_ref[0, ch] = g.astype(jnp.uint8)
-            gray_ref[0] = g.astype(jnp.uint8)
+            for f in range(fsteps):
+                w32 = s_u8[slot, f, 0, 0:th, 0 : tw // 4]
+                g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
+                if want_rgb:
+                    for ch in range(3):
+                        out_ref[f, ch] = g.astype(jnp.uint8)
+                gray_ref[f] = g.astype(jnp.uint8)
             return
 
         # Per-bucket bodies.  Exactly one branch runs per tile: bucket 0
@@ -799,12 +806,13 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             dx_ = dims.bucket_dx[bi]
             nat_ = dims.bucket_nat[bi]
             rows_ = min(-(-(th + dy_) // 8) * 8, rh)
-            if bi == 0:
-                resample(rows, yres0_ref[0, 0], lxres0_ref[0, 0], dy_, dx_, nat_, rows_)
-            else:
-                yr = sub_refs[2 * (bi - 1)][0]
-                lr = sub_refs[2 * (bi - 1) + 1][0]
-                resample(rows, yr, lr, dy_, dx_, nat_, rows_)
+            for f in range(fsteps):
+                if bi == 0:
+                    resample(rows, yres0_ref[0, 0], lxres0_ref[0, 0], dy_, dx_, nat_, rows_, fi=f)
+                else:
+                    yr = sub_refs[2 * (bi - 1)][0]
+                    lr = sub_refs[2 * (bi - 1) + 1][0]
+                    resample(rows, yr, lr, dy_, dx_, nat_, rows_, fi=f)
 
         live_rest = [bi for bi in range(1, nb) if dims.bucket_used[bi]]
         if not live_rest:
@@ -862,7 +870,8 @@ class PallasPreprocessor:
     """
 
     def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False,
-                 want_rgb: bool = True, plan: RemapPlan | None = None, debug_mode: str = "full"):
+                 want_rgb: bool = True, plan: RemapPlan | None = None, debug_mode: str = "full",
+                 frames_per_step: int = 1):
         self.plan = plan if plan is not None else build_remap_plan(mtx, dist, size_wh)
         self.gamma = float(gamma)
         self.interpret = interpret
@@ -871,6 +880,7 @@ class PallasPreprocessor:
         # HBM write per frame.
         self.want_rgb = want_rgb
         self.debug_mode = debug_mode  # see _make_kernel — profiling ablations
+        self.frames_per_step = int(frames_per_step)
         p = self.plan
         self._table = jnp.asarray(p.table)
         # The kernel runs in deinterleaved lane space (4-byte unpack of the
@@ -897,13 +907,15 @@ class PallasPreprocessor:
             frames, self._table, self._yres0, self._lxres0, subs_flat,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
             want_rgb=self.want_rgb, debug_mode=self.debug_mode,
+            frames_per_step=self.frames_per_step,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode"))
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode",
+                                              "frames_per_step"))
 def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
-                   debug_mode: str = "full"):
+                   debug_mode: str = "full", frames_per_step: int = 1):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
     bsz, _, h, w = frames.shape
@@ -926,7 +938,9 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
          (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
     )
     nty, ntx = h // th, w // tw
-    kernel = _make_kernel(dims, gamma, want_rgb, debug_mode)
+    # Frames per grid step: falls back to 1 when the batch does not divide.
+    fsteps = frames_per_step if frames_per_step > 0 and bsz % frames_per_step == 0 else 1
+    kernel = _make_kernel(dims, gamma, want_rgb, debug_mode, fsteps)
     nb = len(dims.bucket_dy)
     rec = _REC_FIXED + nb - 1
     max_chunks = dims.rh // CHUNK_ROWS
@@ -945,7 +959,7 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         num_scalar_prefetch=1,
         # batch innermost: tile-keyed blocks (residual fields, rank tables)
         # stay resident across the batch instead of re-streaming per frame.
-        grid=(nty, ntx, bsz),
+        grid=(nty, ntx, bsz // fsteps),
         in_specs=[
             pl.BlockSpec((1, 1, th, dims.bucket_nat[0]), lambda i, j, b, tab: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, th, tw), lambda i, j, b, tab: (i, j, 0, 0)),
@@ -954,18 +968,18 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         ],
         out_specs=(
             (
-                pl.BlockSpec((1, 3, th, tw), lambda i, j, b, tab: (b, 0, i, j)),
-                pl.BlockSpec((1, th, tw), lambda i, j, b, tab: (b, i, j)),
+                pl.BlockSpec((fsteps, 3, th, tw), lambda i, j, b, tab: (b, 0, i, j)),
+                pl.BlockSpec((fsteps, th, tw), lambda i, j, b, tab: (b, i, j)),
             )
             if want_rgb
-            else (pl.BlockSpec((1, th, tw), lambda i, j, b, tab: (b, i, j)),)
+            else (pl.BlockSpec((fsteps, th, tw), lambda i, j, b, tab: (b, i, j)),)
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, 3, dims.rh, dims.rw // 4),
+                (2, fsteps, 3, dims.rh, dims.rw // 4),
                 jnp.int32,  # i32-packed window (4 source bytes per lane)
             ),
-            pltpu.SemaphoreType.DMA((2, 3, max_chunks)),
+            pltpu.SemaphoreType.DMA((2, fsteps, 3, max_chunks)),
         ],
     )
     out_shape = (

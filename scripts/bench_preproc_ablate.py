@@ -41,7 +41,7 @@ def main():
     from apse_uav_tpu.core.camera import load_camera_params
     from apse_uav_tpu.preproc import pallas_remap as pr
 
-    modes = sys.argv[1:] or ["pack", "dma_only", "no_lab", "full", "unperm"]
+    modes = sys.argv[1:] or ["pack", "dma_only", "no_lab", "full", "full_f2", "full_f4", "unperm"]
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
     w, h, batch, iters = (3840, 2160, 8, 16) if on_tpu else (1280, 736, 2, 2)
@@ -55,14 +55,16 @@ def main():
     def report(name, dt):
         print(f"{name:10s} {dt / batch * 1e3:7.2f} ms/frame   ({batch / dt:7.1f} fps)")
 
-    pres = {
-        m: pr.PallasPreprocessor(
+    def mk(m):
+        f = {"full_f2": 2, "full_f4": 4}.get(m, 1)
+        return pr.PallasPreprocessor(
             np.asarray(mtx, np.float64), np.asarray(dist, np.float64), (w, h),
-            interpret=not on_tpu, want_rgb=False, debug_mode=m,
+            interpret=not on_tpu, want_rgb=False,
+            debug_mode=m if not m.startswith("full") else "full",
+            frames_per_step=f,
         )
-        for m in ("dma_only", "no_lab", "full")
-        if m in modes
-    }
+
+    pres = {m: mk(m) for m in ("dma_only", "no_lab", "full", "full_f2", "full_f4") if m in modes}
 
     if "pack" in modes:
         some = pres.get("full") or pr.PallasPreprocessor(
@@ -86,7 +88,7 @@ def main():
 
         report("pack", timed(s_pack, frames, iters))
 
-    for m in ("dma_only", "no_lab", "full"):
+    for m in ("dma_only", "no_lab", "full", "full_f2", "full_f4"):
         if m not in modes:
             continue
         pre = pres[m]

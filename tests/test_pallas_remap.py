@@ -120,3 +120,21 @@ def test_wild_bucket_matches_cv2_chain():
     dg = np.abs(gray - ref_gray.astype(np.int32))
     assert (d > 2).mean() < 0.02, ((d > 2).mean(), d.max())
     assert (dg > 2).mean() < 0.01, ((dg > 2).mean(), dg.max())
+
+
+def test_multi_frame_steps_bit_identical():
+    """frames_per_step=2/4 (per-step overhead amortization) must produce
+    byte-identical output to the single-frame grid, and non-dividing
+    batches must fall back to F=1."""
+    h, w = 16 * 8, 256 * 2
+    mtx, dist = _scaled_cam(w, h)
+    fr = np.random.default_rng(3).integers(0, 255, (4, 3, h, w), dtype=np.uint8)
+    base = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    _, g1 = base(jnp.asarray(fr))
+    for f in (2, 4):
+        pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False, frames_per_step=f)
+        _, gf = pre(jnp.asarray(fr))
+        assert (np.asarray(gf) == np.asarray(g1)).all(), f
+    pre2 = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False, frames_per_step=2)
+    _, g3 = pre2(jnp.asarray(fr[:3]))
+    assert (np.asarray(g3) == np.asarray(g1[:3])).all()
