@@ -163,9 +163,10 @@ def _proposals(gray: Array, p: DetectorParams):
     scored on the pyramid level whose origin stride is <= s/8 px (exact
     inner-box extents — the scale ladder is made of multiples of the level
     strides), so all box sums are unit-stride static slices on grids that
-    SHRINK with the scale, and every dilation radius collapses to <= 3
-    coarse cells.  Cross-scale non-max suppression resamples adjacent
-    scales' dilated maps between neighbouring pyramid levels (ratio <= 2).
+    SHRINK with the scale, and the decimated scales' dilation radii
+    collapse to a few coarse cells.  Cross-scale non-max suppression
+    resamples adjacent scales' dilated maps between neighbouring pyramid
+    levels (ratio <= 2).
     """
     h, w = gray.shape
     st = p.proposal_stride
