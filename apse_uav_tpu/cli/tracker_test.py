@@ -32,6 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--assoc_weights", default=None)
     p.add_argument("--depth", type=int, default=101, choices=(50, 101))
     p.add_argument("--num_classes", type=int, default=80)
+    p.add_argument("--bf16", action="store_true", help="bf16 backbone/head compute (f32 params)")
     p.add_argument("--confidence", type=float, default=0.5)
     p.add_argument("--batch", type=int, default=4)
     return p
@@ -52,6 +53,8 @@ def _build_tracker(args, orig_hw):
     make = mask_rcnn_r50_fpn if args.depth == 50 else mask_rcnn_r101_fpn
     cfg = make(num_classes=args.num_classes)
     cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=args.confidence))
+    if args.bf16:
+        cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
     model = MaskRCNN(cfg=cfg)
     params = jax.jit(
         lambda rng: model.init(rng, jnp.zeros((1, 64, 64, 3)), mode="inference")["params"]
