@@ -5,7 +5,8 @@ Honest-measurement rules (PERF_NOTES.md): every iteration evolves the input
 buffer through the computation and ends with a host read.
 
 Usage: python scripts/bench_breakdown.py [stage ...]
-Stages: preproc proposals detect front scan full  (default: all)
+Stages: preproc proposals detect front scan full proposals_nodecim detect_nodecim
+(default: preproc proposals detect front scan full)
 """
 
 import sys
@@ -40,6 +41,7 @@ def main():
     from apse_uav_tpu.core.camera import load_camera_params
 
     stages = sys.argv[1:] or ["preproc", "proposals", "detect", "front", "scan", "full"]
+    import dataclasses as _dc
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
     if on_tpu:
@@ -79,6 +81,28 @@ def main():
             s = jax.vmap(one)(g).sum()
             return g + (s.astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
         report("proposals", timed(s_prop, gray0, iters))
+
+    if "proposals_nodecim" in stages:
+        p_nd = _dc.replace(p, decimate=False)
+
+        @jax.jit
+        def s_prop_nd(g):
+            def one(gi):
+                centers, sizes, vals, valid = det._proposals(gi.astype(jnp.float32), p_nd)
+                return centers.sum() + sizes.sum() + vals.sum()
+            s = jax.vmap(one)(g).sum()
+            return g + (s.astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("prop_nodec", timed(s_prop_nd, gray0, iters))
+
+    if "detect_nodecim" in stages:
+        det_nd = det.ArucoDetector(_dc.replace(p, decimate=False))
+
+        @jax.jit
+        def s_det_nd(g):
+            corners, ids = det_nd.detect(g)
+            bump = (corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1)
+            return g + bump
+        report("det_nodec", timed(s_det_nd, gray0, iters))
 
     if "detect" in stages:
         @jax.jit
