@@ -312,9 +312,6 @@ def _proposals(gray: Array, p: DetectorParams):
     # far-away scale (sub-pattern vs whole marker) keeps both candidates and
     # the post-decode dedup picks the real quad.
     ns = len(per_scale)
-    k = p.per_scale_k
-    gsz = 2048
-    all_cy, all_cx, all_vals, all_sizes = [], [], [], []
     for si, e in enumerate(per_scale):
         shape = e["score"].shape
         cross = e["dil"]
@@ -323,29 +320,49 @@ def _proposals(gray: Array, p: DetectorParams):
                 n = per_scale[sj]
                 cross = jnp.maximum(cross, to_level(n["dil"], n["q"], e["q"], shape))
         is_max = (e["score"] >= cross) & (e["score"] > p.score_threshold)
-        masked = jnp.where(is_max, e["score"], 0.0).reshape(-1)
-        n_flat = masked.shape[0]
-        # Hierarchical top-k on big maps (group-max -> top-k groups -> top-k
-        # within; exact: any group holding a true top-k element has
-        # group-max >= it, and k higher-ranked groups would each contribute
-        # a larger element).  Small (decimated) maps sort flat.
+        e["masked"] = jnp.where(is_max, e["score"], 0.0).reshape(-1)
+
+    # Top-k per scale, batched per pyramid LEVEL: the scale ladder is
+    # monotone in q, so same-level scales are contiguous and can stack into
+    # one (S_l, n) hierarchical top-k (group-max -> top-k groups -> top-k
+    # within; exact: any group holding a true top-k element has
+    # group-max >= it, and k higher-ranked groups would each contribute a
+    # larger element).  Small decimated levels sort flat.
+    k = p.per_scale_k
+    gsz = 2048
+    all_cy, all_cx, all_vals, all_sizes = [], [], [], []
+    si = 0
+    while si < ns:
+        sj = si
+        while sj < ns and per_scale[sj]["q"] == per_scale[si]["q"]:
+            sj += 1
+        group = per_scale[si:sj]
+        flat_s = jnp.stack([e["masked"] for e in group])  # (S_l, n)
+        n_flat = flat_s.shape[1]
         if n_flat >= 8 * gsz:
             padn = (-n_flat) % gsz
-            groups = jnp.pad(masked, (0, padn), constant_values=-1.0).reshape(-1, gsz)
-            _, gidx = jax.lax.top_k(jnp.max(groups, axis=1), k)
-            sub = jnp.take_along_axis(groups, gidx[:, None], axis=0)  # (k, gsz)
-            vals, sidx = jax.lax.top_k(sub.reshape(-1), k)
-            idx = gidx[sidx // gsz] * gsz + sidx % gsz
+            groups = jnp.pad(flat_s, ((0, 0), (0, padn)), constant_values=-1.0).reshape(
+                len(group), -1, gsz
+            )
+            _, gidx = jax.lax.top_k(jnp.max(groups, axis=2), k)  # (S_l, k)
+            sub = jnp.take_along_axis(groups, gidx[:, :, None], axis=1)  # (S_l, k, gsz)
+            vals, sidx = jax.lax.top_k(sub.reshape(len(group), -1), k)
+            idx = jnp.take_along_axis(gidx, sidx // gsz, axis=1) * gsz + sidx % gsz
         else:
-            vals, idx = jax.lax.top_k(masked, k)
-        nxq = shape[1]
+            vals, idx = jax.lax.top_k(flat_s, k)  # (S_l, k)
+        nxq = group[0]["score"].shape[1]
+        unit = group[0]["unit"]
         iy = (idx // nxq).astype(jnp.float32)
         ix = (idx % nxq).astype(jnp.float32)
+        offs = jnp.asarray([e["off"] for e in group], jnp.float32)[:, None]
         # Candidate centre in image coords: grid origin + centred-box offset.
-        all_cy.append(iy * e["unit"] + e["off"])
-        all_cx.append(ix * e["unit"] + e["off"])
-        all_vals.append(vals)
-        all_sizes.append(jnp.full((k,), e["size"], jnp.float32))
+        all_cy.append((iy * unit + offs).reshape(-1))
+        all_cx.append((ix * unit + offs).reshape(-1))
+        all_vals.append(vals.reshape(-1))
+        all_sizes.append(
+            jnp.repeat(jnp.asarray([e["size"] for e in group], jnp.float32), k)
+        )
+        si = sj
     cy = jnp.concatenate(all_cy)
     cx = jnp.concatenate(all_cx)
     vals = jnp.concatenate(all_vals)
