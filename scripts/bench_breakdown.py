@@ -5,7 +5,7 @@ Honest-measurement rules (PERF_NOTES.md): every iteration evolves the input
 buffer through the computation and ends with a host read.
 
 Usage: python scripts/bench_breakdown.py [stage ...]
-Stages: preproc proposals detect front scan full proposals_nodecim detect_nodecim
+Stages: preproc proposals detect front scan full proposals_nodecim detect_nodecim cc refine
 (default: preproc proposals detect front scan full)
 """
 
@@ -111,6 +111,31 @@ def main():
             bump = (corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1)
             return g + bump
         report("detect", timed(s_det, gray0, iters))
+
+    if "cc" in stages:
+        # Largest-component label propagation inside the candidate stage:
+        # 48 sequential masked-min iterations on (K, 64, 64) windows.
+        K = 60
+        dark0 = jnp.zeros((batch, K, 64, 64), bool).at[:, :, 16:48, 16:48].set(True)
+
+        @jax.jit
+        def s_cc(d):
+            m = jax.vmap(jax.vmap(lambda x: det._largest_component(x, 64)))(d)
+            return jnp.logical_xor(d, (m.sum() & 1).astype(bool))
+        report("cc", timed(s_cc, dark0, iters))
+
+    if "refine" in stages:
+        K = 60
+        patches = jnp.zeros((batch, K, 384, 384), jnp.float32)
+        corners0 = jnp.tile(jnp.asarray([[60.0, 60.0], [60.0, 300.0], [300.0, 300.0], [300.0, 60.0]]), (batch, K, 1, 1))
+
+        @jax.jit
+        def s_ref(pa):
+            def one(pi, ci):
+                return det._refine_edges(pi, ci, p.edge_points, jnp.float32(2.0), 0.8)[0]
+            r = jax.vmap(jax.vmap(one))(pa, corners0)
+            return pa + r.sum() * 1e-9 + 1.0
+        report("refine384", timed(s_ref, patches, iters))
 
     if "front" in stages:
         @jax.jit
