@@ -139,3 +139,29 @@ def test_marker_sizes_are_operating_point(cam):
     mtx, _ = cam
     side_px = mtx[0, 0] * 0.55 / ALTITUDE
     assert 40.0 < side_px < 55.0, side_px
+
+
+def test_recall_across_altitudes(cam):
+    """Recall parity with cv2 beyond the 40 m operating point: 25/50/65 m
+    (75/37/29 px markers) at a historically-bad yaw.  Full 7-yaw sweeps at
+    all three altitudes were probed session-side with zero misses either
+    way; this pins one representative slice per altitude."""
+    mtx, dist = cam
+    det = ArucoDetector()
+    cvdet = _cv2_detector()
+    yaw = 30
+    for alt in (25.0, 50.0, 65.0):
+        r = SceneRenderer(mtx, dist, (W, H), altitude=alt, supersample=2)
+        specs = [
+            MarkerSpec(4, (0.5, -2.0), yaw_deg=yaw + 4.0, leds=0b10110010),
+            MarkerSpec(1, (7.5, 3.0), yaw_deg=yaw - 12.0),
+            MarkerSpec(2, (-9.0, 2.0), yaw_deg=yaw + 30.0),
+            MarkerSpec(3, (4.0, -6.5), yaw_deg=yaw + 75.0),
+        ]
+        gray = _preprocess_reference(r.render(specs), mtx, dist)
+        cvc, cvids, _ = cvdet.detectMarkers(gray)
+        cvset = (set(np.asarray(cvids).ravel().tolist()) if cvids is not None else set()) & {1, 2, 3, 4}
+        _, ids = det.detect(jnp.asarray(gray))
+        ids = np.asarray(ids)
+        ourset = set(ids[ids >= 0].tolist()) & {1, 2, 3, 4}
+        assert cvset <= ourset, (alt, cvset - ourset)
