@@ -43,6 +43,10 @@ class ArucoPipelineConfig:
     source_lidar: bool = False
     leds_threshold: float | None = None
     use_pallas_preproc: bool = True
+    # Frames remapped per Pallas grid step (amortizes the fixed per-step
+    # overhead across the batch; batch size must be a multiple).  1 = the
+    # measured round-3 configuration; A/B on hardware before changing.
+    preproc_frames_per_step: int = 1
 
     @property
     def diff_max(self) -> float:
@@ -151,6 +155,7 @@ class ArucoPipeline:
             self.pre = PallasPreprocessor(
                 np.asarray(mtx, np.float64), np.asarray(dist, np.float64), size_wh,
                 interpret=interpret, want_rgb=False,
+                frames_per_step=self.cfg.preproc_frames_per_step,
             )
         else:
             from apse_uav_tpu.preproc.remap import Preprocessor

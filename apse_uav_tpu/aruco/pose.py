@@ -154,11 +154,6 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros(6))
         return params - step
 
-    def refine(params0):
-        return jax.lax.fori_loop(0, num_iters, gn_step, params0)
-
-    params_a = refine(jnp.concatenate([rvec0, tvec0]))
-
     # Planar-pose two-fold ambiguity: a square seen at a small tilt admits a
     # second pose whose plane normal is the FIRST solution's normal reflected
     # about the line of sight, with near-identical reprojection.  Sub-pixel
@@ -166,14 +161,16 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
     # reference's cv2 chain flips basins from ITS corner noise, unpredictably
     # to any reimplementation (the round-2 parity run's 0.112 m d_bbox
     # outlier was exactly such a disagreement).  Build the mirrored init from
-    # solution A, refine both, and return BOTH refined poses (best-residual
-    # first); ambiguity-sensitive consumers (the bbox-distance column)
-    # average over the pair, bounding the worst-case deviation from either
-    # basin choice at half the flip impact.
-    r_a = rotation.rodrigues_to_matrix(params_a[:3])
-    t_a = params_a[3:]
-    n = r_a[:, 2]
-    v = t_a / jnp.maximum(jnp.linalg.norm(t_a), 1e-9)
+    # the HOMOGRAPHY init (not the refined A pose — the basin geometry is the
+    # same to first order, and deriving it pre-refinement lets both basins
+    # refine CONCURRENTLY in one batched GN loop: 6 sequential stages instead
+    # of 12; the tiny 6-param solves are pure latency on TPU).  Return BOTH
+    # refined poses (best-residual first); ambiguity-sensitive consumers (the
+    # bbox-distance column) average over the pair, bounding the worst-case
+    # deviation from either basin choice at half the flip impact.
+    r_a0 = rotation.rodrigues_to_matrix(rvec0)
+    n = r_a0[:, 2]
+    v = tvec0 / jnp.maximum(jnp.linalg.norm(tvec0), 1e-9)
     n_ref = 2.0 * jnp.dot(n, v) * v - n
     axis = jnp.cross(n, n_ref)
     s = jnp.linalg.norm(axis)
@@ -182,8 +179,15 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
     axis = axis / jnp.maximum(s, 1e-12)
     # Degenerate (zero tilt): mirrored init collapses onto A — harmless tie.
     q = rotation.rodrigues_to_matrix(jnp.where(s > 1e-9, axis * angle, jnp.zeros(3)))
-    rvec_b0 = rotation.matrix_to_rodrigues(q @ r_a)
-    params_b = refine(jnp.concatenate([rvec_b0, t_a]))
+    rvec_b0 = rotation.matrix_to_rodrigues(q @ r_a0)
+
+    both0 = jnp.stack(
+        [jnp.concatenate([rvec0, tvec0]), jnp.concatenate([rvec_b0, tvec0])]
+    )
+    both = jax.lax.fori_loop(
+        0, num_iters, lambda i, p: jax.vmap(lambda pp: gn_step(i, pp))(p), both0
+    )
+    params_a, params_b = both[0], both[1]
 
     err_a = jnp.sum(residual(params_a) ** 2)
     err_b = jnp.sum(residual(params_b) ** 2)

@@ -132,15 +132,22 @@ def main(argv=None) -> int:
     t_start = time.time()
     n_done = 0
 
-    def process(batch_frames, batch_idxs):
-        nonlocal max_obj_id, n_done
+    def dispatch(batch_frames, batch_idxs):
+        """Enqueue detect+associate for a batch; no host sync."""
         arr = np.stack(batch_frames)
         if pre is not None:
             import jax.numpy as jnp
 
-            out, _ = pre(jnp.asarray(arr))
-            arr = np.asarray(out)
-        recents = tracker.process_frames(arr)
+            # Stay on device: materializing the preprocessed 4K RGB on the
+            # host would round-trip hundreds of MB per batch and stall the
+            # pipeline; the predictor consumes device arrays directly.
+            arr, _ = pre(jnp.asarray(arr))
+        return tracker.process_frames_async(arr), batch_frames, batch_idxs
+
+    def consume(pending):
+        nonlocal max_obj_id, n_done
+        handle, batch_frames, batch_idxs = pending
+        recents = tracker.materialize(handle)
         for b, idx in enumerate(batch_idxs):
             recent = {k: v[b] for k, v in recents.items()}
             if args.log_file:
@@ -156,14 +163,25 @@ def main(argv=None) -> int:
         fps = n_done / (time.time() - t_start)
         print(f"frame {batch_idxs[-1]}: {fps:.2f} fps", end="\r")
 
+    # One-batch-deep software pipeline: batch N+1's detection runs on device
+    # while the host writes batch N's CSV rows / visualizations.
+    pending = None
     for idx, frame in frames:
         batch_frames.append(frame)
         batch_idxs.append(idx)
         if len(batch_frames) == args.batch:
-            process(batch_frames, batch_idxs)
+            nxt = dispatch(batch_frames, batch_idxs)
+            if pending is not None:
+                consume(pending)
+            pending = nxt
             batch_frames, batch_idxs = [], []
     if batch_frames:
-        process(batch_frames, batch_idxs)
+        nxt = dispatch(batch_frames, batch_idxs)
+        if pending is not None:
+            consume(pending)
+        pending = nxt
+    if pending is not None:
+        consume(pending)
     print()
 
     if args.log_file:

@@ -125,9 +125,25 @@ class RcnnTracker:
 
     def process_frames(self, frames_u8) -> dict[str, np.ndarray]:
         """frames (T, H, W, 3) uint8 -> recent-object snapshots (T, ...)."""
+        return self.materialize(self.process_frames_async(frames_u8))
+
+    def process_frames_async(self, frames_u8):
+        """Dispatch detect+associate for a batch WITHOUT a host sync.
+
+        Returns an opaque pending handle (device trees).  Callers that
+        pipeline batches dispatch batch N+1 before materializing batch N —
+        the asynchronous runtime then overlaps N+1's detection with the
+        host-side consumption (CSV/visualization) of N, hiding the host
+        gap that a sync-per-batch loop leaves between device dispatches.
+        """
         dets, feats = self.predictor(frames_u8)
         self.frame_count += int(frames_u8.shape[0])
         self.state, recents = self._scan(self.state, dets, feats["p2"])
+        return dets, recents
+
+    def materialize(self, pending) -> dict[str, np.ndarray]:
+        """Host-sync a pending handle from :meth:`process_frames_async`."""
+        dets, recents = pending
         recents = jax.tree_util.tree_map(np.asarray, recents)
         if self.display_info:
             self._debug_print(dets, recents)

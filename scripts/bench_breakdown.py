@@ -137,6 +137,25 @@ def main():
             return pa + r.sum() * 1e-9 + 1.0
         report("refine384", timed(s_ref, patches, iters))
 
+    if "pose" in stages:
+        # Both-basin planar PnP on 4 marker slots per frame (the front's
+        # exact pose workload) — isolates the sequential GN-latency cut from
+        # refining the two ambiguity basins concurrently.
+        from apse_uav_tpu.aruco.pose import estimate_pose_single_markers_two
+
+        c0 = jnp.tile(
+            jnp.asarray([[1000.0, 1000.0], [1047.0, 1002.0], [1045.0, 1049.0], [998.0, 1047.0]]),
+            (batch, 4, 1, 1),
+        )
+
+        @jax.jit
+        def s_pose(c):
+            rv, tv, rv2, tv2 = estimate_pose_single_markers_two(
+                c, 1.0, pipe.mtx, pipe.dist
+            )
+            return c + (rv.sum() + tv.sum() + rv2.sum() + tv2.sum()) * 1e-9 + 1.0
+        report("pose", timed(s_pose, c0, iters))
+
     if "front" in stages:
         @jax.jit
         def s_front(fr):

@@ -75,6 +75,27 @@ def test_rcnn_tracker_engine_runs(setup):
     assert not np.asarray(tracker.state["active"]).any()
 
 
+def test_pipelined_dispatch_matches_sequential(setup):
+    """Async dispatch of batch N+1 before materializing batch N (the CLI's
+    one-deep software pipeline) must be bit-identical to sequential
+    process_frames calls: the track-state carry threads through dispatches
+    on device, independent of when the host reads the snapshots."""
+    cfg, tcfg, params, assoc = setup
+    frames = np.random.default_rng(3).integers(0, 255, (4, 100, 160, 3), np.uint8)
+
+    seq = RcnnTracker(cfg, tcfg, params, assoc, orig_hw=(100, 160))
+    want = [seq.process_frames(frames[:2]), seq.process_frames(frames[2:])]
+
+    pip = RcnnTracker(cfg, tcfg, params, assoc, orig_hw=(100, 160))
+    p1 = pip.process_frames_async(frames[:2])
+    p2 = pip.process_frames_async(frames[2:])  # dispatched before reading p1
+    got = [pip.materialize(p1), pip.materialize(p2)]
+
+    for w, g in zip(want, got):
+        for k in w:
+            np.testing.assert_array_equal(w[k], g[k], err_msg=k)
+
+
 def test_selective_predictor_times_stages(setup):
     cfg, _, params, _ = setup
     sel = SelectivePredictor(cfg, params, orig_hw=(100, 160))
