@@ -173,6 +173,14 @@ def _proposals(gray: Array, p: DetectorParams):
     g = gray.astype(jnp.float32)
     h4, w4 = h // st, w // st
     pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
+    # Mean-centre before the integral image: a raw f32 cumsum over the
+    # pooled 4K grid reaches ~1.3e8, so corner-difference box sums near the
+    # frame's bottom-right carry +-16 absolute cancellation error (+-4 gray
+    # levels on a 2x2 inner box, ~0.016 score wobble vs the 0.2 threshold).
+    # Centred values wander ~sqrt(N)*std instead, ~100x less error, and the
+    # shift cancels EXACTLY in the outer-inner contrast (both means shift by
+    # the same constant).
+    pool = pool - jnp.mean(pool)
 
     scales = _kept_scales(h, w, p)
 

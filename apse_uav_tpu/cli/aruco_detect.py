@@ -170,10 +170,10 @@ def main(argv=None) -> int:
     t_start = time.perf_counter()
     first_batch = True
 
-    def flush():
-        nonlocal carry, first_batch, n_frames
-        if not batch_ks:
-            return
+    def dispatch():
+        """Enqueue one batch; the temporal carry threads through ON DEVICE,
+        so the next batch can dispatch before this one's host read."""
+        nonlocal carry, first_batch
         frames = jnp.asarray(np.stack(batch_frames).transpose(0, 3, 1, 2))
         crows = None
         if centroid_data is not None:
@@ -181,27 +181,46 @@ def main(argv=None) -> int:
             crows = jnp.asarray(centroid_data[idx], jnp.int32)
         carry, out = pipe.process(frames, carry, first=first_batch, centroid_rows=crows)
         first_batch = False
+        pending = (out, list(batch_ks), list(batch_frames))
+        batch_ks.clear()
+        batch_frames.clear()
+        return pending
+
+    def consume(pending):
+        nonlocal n_frames
+        out, ks, frames_list = pending
         out = {k: np.asarray(v) for k, v in out.items()}
-        for i, k in enumerate(batch_ks):
+        for i, k in enumerate(ks):
             if writer is not None:
                 writer.write_frame(k, {key: out[key][i] for key in out})
             if args.save_images and args.path_output_images:
                 _save_annotated(
-                    args.path_output_images, k, batch_frames[i],
+                    args.path_output_images, k, frames_list[i],
                     {key: out[key][i] for key in out},
                 )
-        n_frames += len(batch_ks)
-        batch_ks.clear()
-        batch_frames.clear()
+        n_frames += len(ks)
 
+    # One-batch-deep software pipeline: batch N+1's device work (preproc +
+    # detect + pose + scan) overlaps batch N's host-side CSV/image writes
+    # and the NEXT batch's frame decode.
+    pending = None
     for k, frame in _frame_reader(args):
         if frame.shape[:2] != (args.height, args.width):
             raise SystemExit(f"frame {k} has shape {frame.shape}, expected {(args.height, args.width)}")
         batch_ks.append(k)
         batch_frames.append(frame)
         if len(batch_ks) == args.batch:
-            flush()
-    flush()
+            nxt = dispatch()
+            if pending is not None:
+                consume(pending)
+            pending = nxt
+    if batch_ks:
+        nxt = dispatch()
+        if pending is not None:
+            consume(pending)
+        pending = nxt
+    if pending is not None:
+        consume(pending)
 
     if writer is not None:
         writer.close()
