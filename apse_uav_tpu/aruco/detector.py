@@ -491,27 +491,57 @@ def _binarize(winimg: Array):
     return winimg < t, lo, hi
 
 
-def _largest_component(dark: Array, win: int, iters: int = 48) -> Array:
-    """Largest 4-connected component of the dark mask (label propagation).
+def _largest_component(dark: Array, win: int, max_rounds: int | None = None) -> Array:
+    """Largest 4-connected component of the dark mask.
 
     Isolates the marker blob from nearby dark clutter (LED panels, asphalt
     at the window edge) before corner extraction.  The marker is separated
     from such clutter by the white roof margin, so components are distinct.
+
+    Min-labels propagate by SEGMENTED row/column min-scans (segments reset
+    at non-dark cells), not radius-1 neighbour steps: one scan carries a
+    label across an entire dark run, and the row+column rounds repeat to
+    FIXPOINT (lax.while_loop), so labeling is exact for every shape.  Quad
+    components (border ring + attached bit cells) converge in ~3 rounds —
+    the previous 48 radius-1 iterations were pure sequential latency and
+    still insufficient for a white-heavy code whose component is a bare
+    ring (geodesic diameter ~ half the perimeter, > 48 for large in-window
+    markers); a split label would truncate the blob and poison the corner
+    fit.  ``max_rounds`` caps degenerate serpentine shapes (default win/2,
+    enough for anything short of a perfect spiral).
     """
     n = win * win
     idx = jnp.arange(n, dtype=jnp.int32).reshape(win, win)
     sentinel = jnp.int32(n)
     labels = jnp.where(dark, idx, sentinel)
+    boundary = ~dark
+    if max_rounds is None:
+        max_rounds = max(win // 2, 4)
 
-    def step(_, lab):
-        padded = jnp.pad(lab, 1, constant_values=sentinel)
-        neigh = jnp.minimum(
-            jnp.minimum(padded[:-2, 1:-1], padded[2:, 1:-1]),
-            jnp.minimum(padded[1:-1, :-2], padded[1:-1, 2:]),
+    def comb(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, jnp.minimum(v1, v2)), f1 | f2
+
+    def sweep(lab, axis):
+        fwd, _ = jax.lax.associative_scan(comb, (lab, boundary), axis=axis)
+        bwd, _ = jax.lax.associative_scan(
+            comb, (lab, boundary), axis=axis, reverse=True
         )
-        return jnp.where(dark, jnp.minimum(lab, neigh), sentinel)
+        return jnp.where(dark, jnp.minimum(fwd, bwd), sentinel)
 
-    labels = jax.lax.fori_loop(0, iters, step, labels)
+    def cond(state):
+        _, changed, i = state
+        return changed & (i < max_rounds)
+
+    def body(state):
+        lab, _, i = state
+        new = sweep(sweep(lab, 1), 0)
+        return new, jnp.any(new != lab), i + 1
+
+    labels, _, _ = jax.lax.while_loop(
+        cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+    )
     flat = labels.reshape(-1)
     counts = jax.ops.segment_sum(jnp.ones_like(flat), flat, num_segments=n + 1)
     counts = counts.at[n].set(0)  # ignore the sentinel

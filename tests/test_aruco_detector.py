@@ -119,3 +119,39 @@ def test_detect_batched(scene):
     corners, ids = det.detect(batch)
     assert corners.shape[0] == 2 and ids.shape[0] == 2
     assert set(np.asarray(ids[0])[np.asarray(ids[0]) >= 0].tolist()) >= {1, 2, 3, 4}
+
+
+def test_largest_component_matches_scipy_label():
+    """Segmented-scan component labeling == scipy.ndimage largest component
+    (4-connectivity), including the worst case the old radius-1 propagation
+    could NOT converge on: a bare border ring (geodesic diameter ~ half the
+    perimeter) plus separate clutter blobs."""
+    import scipy.ndimage as ndi
+
+    from apse_uav_tpu.aruco.detector import _largest_component
+
+    rng = np.random.default_rng(0)
+    win = 64
+    masks = []
+    # Bare ring spanning nearly the whole window (worst geodesic diameter).
+    ring = np.zeros((win, win), bool)
+    ring[2:62, 2:62] = True
+    ring[5:59, 5:59] = False
+    clutter = np.zeros_like(ring)
+    clutter[30:40, 30:40] = True
+    masks.append(ring | clutter)
+    # C-shape (open ring) with the gap forcing one-way propagation.
+    c = ring.copy()
+    c[2:5, 28:36] = False
+    masks.append(c | clutter)
+    # Random blobs (smoothed noise) — several components of varied shape.
+    for seed in range(4):
+        noise = np.random.default_rng(seed).random((win, win))
+        masks.append(ndi.uniform_filter(noise, 7) < 0.47)
+    for m in masks:
+        labels, n = ndi.label(m, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        assert n >= 1
+        sizes = ndi.sum_labels(np.ones_like(labels), labels, range(1, n + 1))
+        want = labels == (1 + int(np.argmax(sizes)))
+        got = np.asarray(_largest_component(jnp.asarray(m), win))
+        np.testing.assert_array_equal(got, want)
