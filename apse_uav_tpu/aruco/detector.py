@@ -539,8 +539,11 @@ def _largest_component(dark: Array, win: int, max_rounds: int | None = None) -> 
         new = sweep(sweep(lab, 1), 0)
         return new, jnp.any(new != lab), i + 1
 
+    # Initial `changed` must be data-derived (labels >= 0 is always True):
+    # under shard_map a literal True is device-unvarying while the body's
+    # jnp.any(...) is varying, and while_loop rejects the carry-type change.
     labels, _, _ = jax.lax.while_loop(
-        cond, body, (labels, jnp.bool_(True), jnp.int32(0))
+        cond, body, (labels, jnp.any(labels >= 0), jnp.int32(0))
     )
     flat = labels.reshape(-1)
     counts = jax.ops.segment_sum(jnp.ones_like(flat), flat, num_segments=n + 1)

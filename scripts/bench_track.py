@@ -6,7 +6,7 @@ embeddings (ROI features + association head), the association scan
 (Hungarian + track-state update), and the full engine.
 
 Usage: python scripts/bench_track.py [stage ...]
-Stages: detect embed scan engine engine_bf16  (default: all)
+Stages: detect embed scan engine fused engine_bf16  (default: all)
 """
 
 import sys
@@ -48,7 +48,7 @@ def main():
     from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
     from apse_uav_tpu.dcnn.engines import TrackPredictor
 
-    stages = sys.argv[1:] or ["detect", "embed", "scan", "engine", "engine_bf16"]
+    stages = sys.argv[1:] or ["detect", "embed", "scan", "engine", "fused", "engine_bf16"]
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
     orig_hw = (2160, 3840) if on_tpu else (432, 768)
@@ -125,6 +125,46 @@ def main():
             _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
             return fr + (recents["boxes"].sum()).astype(jnp.uint8)
         report("engine", timed(s_all, frames))
+
+    if "fused" in stages:
+        # BASELINE.json config 5: "Full fused pipeline — DCNN detect +
+        # triplet re-ID tracking + ArUco on dynamic 4K".  Both methods
+        # consume the same frame batch inside ONE jit (the paper's
+        # cross-validation run, both measurement systems live).
+        from apse_uav_tpu.aruco.pipeline import (
+            ArucoPipeline, ArucoPipelineConfig, init_carry,
+        )
+        from apse_uav_tpu.core.camera import load_camera_params
+
+        mtx, dist = load_camera_params(f"{REPO}/data/cam_params.json")
+        h_, w_ = orig_hw
+        mtx = mtx * np.array(
+            [[w_ / 3840, 1, w_ / 3840], [1, h_ / 2160, h_ / 2160], [1, 1, 1.0]]
+        )
+        acfg = ArucoPipelineConfig(use_pallas_preproc=on_tpu)
+        apipe = ArucoPipeline(mtx, dist, (w_, h_), acfg)
+        acarry0 = init_carry(acfg)
+
+        @jax.jit
+        def s_fused(fr):
+            # fr is (B, H, W, 3) HWC u8 for the tracker; ArUco wants planar.
+            d, f = predictor._infer_impl(predictor.params, fr)
+
+            def step(s, xs):
+                det, ff = xs
+                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
+
+            _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
+            af = apipe.front(jnp.transpose(fr, (0, 3, 1, 2)))
+            firsts = jnp.zeros(fr.shape[0], bool).at[0].set(True)
+            _, aout = apipe.scan(
+                acarry0, af, firsts, jnp.zeros((fr.shape[0], 17), jnp.int32)
+            )
+            bump = (
+                recents["boxes"].sum() + aout["dist_aruco"].sum()
+            ).astype(jnp.uint8) | jnp.uint8(1)
+            return fr + bump
+        report("fused", timed(s_fused, frames))
 
     if "engine_bf16" in stages:
         cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
