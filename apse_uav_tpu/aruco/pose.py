@@ -111,7 +111,7 @@ def solve_pnp_planar(
 
     Returns (rvec (3,), tvec (3,)) of the minimum-reprojection-error basin.
     """
-    best, _ = _solve_pnp_planar_two(obj_pts, img_pts, mtx, dist, num_iters)
+    best, _, _, _, _ = _solve_pnp_planar_two(obj_pts, img_pts, mtx, dist, num_iters)
     return best[:3], best[3:]
 
 
@@ -232,7 +232,12 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
         & (other_err < 100.0 * best_err + 1.0)
     )
     other = jnp.where(other_ok, other, best)
-    return best, other
+    best_err_out = jnp.where(sane_a | sane_b, best_err, jnp.float32(jnp.inf))
+    other_err_out = jnp.where(other_ok, other_err, best_err_out)
+    # take_b: the returned BEST pose is the mirrored basin, i.e. the
+    # homography-init basin (cv2 ITERATIVE's landing basin — it never
+    # compares basins) is `other`.
+    return best, other, best_err_out, other_err_out, take_b
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters",))
@@ -269,13 +274,17 @@ def estimate_pose_single_markers_two(
     num_iters: int = 6,
 ):
     """Like :func:`estimate_pose_single_markers`, but returns both planar-
-    ambiguity basins: (rvec, tvec, rvec_alt, tvec_alt), best-residual first.
+    ambiguity basins: (rvec, tvec, rvec_alt, tvec_alt, err, err_alt,
+    swapped), best-residual first, each with its summed squared pixel
+    reprojection residual, plus `swapped`: True when the best-residual
+    basin is the MIRRORED one (i.e. the homography-init basin — the one
+    cv2 ITERATIVE would land in — is the `_alt` pose).
     """
     obj = marker_object_points(marker_length)
 
     def one(c):
-        best, other = _solve_pnp_planar_two(obj, c, mtx, dist, num_iters)
-        return best[:3], best[3:], other[:3], other[3:]
+        best, other, err, err2, swapped = _solve_pnp_planar_two(obj, c, mtx, dist, num_iters)
+        return best[:3], best[3:], other[:3], other[3:], err, err2, swapped
 
     fn = one
     for _ in range(corners.ndim - 2):

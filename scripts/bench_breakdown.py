@@ -150,7 +150,7 @@ def main():
 
         @jax.jit
         def s_pose(c):
-            rv, tv, rv2, tv2 = estimate_pose_single_markers_two(
+            rv, tv, rv2, tv2, _, _, _ = estimate_pose_single_markers_two(
                 c, 1.0, pipe.mtx, pipe.dist
             )
             return c + (rv.sum() + tv.sum() + rv2.sum() + tv2.sum()) * 1e-9 + 1.0

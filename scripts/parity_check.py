@@ -95,7 +95,8 @@ def render_frames(workdir: str, n_frames: int, altitude: float) -> str:
 
 
 def run_reference(workdir: str, frames_dir: str, n_frames: int,
-                  use_centroid_data: bool = False, dcnn_csv: str | None = None) -> str:
+                  use_centroid_data: bool = False, dcnn_csv: str | None = None,
+                  source_lidar: bool = False) -> str:
     """Patch the reference's constant block and execute it headless."""
     src = open(REFERENCE).read()
     out_csv = os.path.join(workdir, "ref.csv")
@@ -113,7 +114,7 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int,
         (r"^showDataOnImage = .*$", "showDataOnImage = False"),
         (r"^showDistancesOnImage = .*$", "showDistancesOnImage = False"),
         (r"^drawLeds = .*$", "drawLeds = False"),
-        (r"^sourceLidar = .*$", "sourceLidar = False"),
+        (r"^sourceLidar = .*$", f"sourceLidar = {source_lidar}"),
         (r"^drawLines = .*$", "drawLines = False"),
         (r"^drawPoints = .*$", "drawPoints = False"),
         (r"^useImages = .*$", "useImages = True"),
@@ -144,7 +145,8 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int,
 
 
 def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool,
-             force_cpu: bool = False, dcnn_csv: str | None = None) -> str:
+             force_cpu: bool = False, dcnn_csv: str | None = None,
+             source_lidar: bool = False) -> str:
     out_csv = os.path.join(workdir, "ours.csv")
     cmd = [
         sys.executable, "-m", "apse_uav_tpu.cli.aruco_detect",
@@ -155,6 +157,8 @@ def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool,
     ]
     if dcnn_csv is not None:
         cmd += ["--use_centroid_data", "--path_dcnn_data", dcnn_csv]
+    if source_lidar:
+        cmd.append("--source_lidar")
     if xla_preproc:
         cmd.append("--xla_preproc")
     if force_cpu:
@@ -216,6 +220,15 @@ def compare(ref_csv: str, ours_csv: str, use_centroid_data: bool = False) -> dic
     alld = np.concatenate(deltas) if deltas else np.array([np.inf])
     both_alt = (ref[:, 1] > 0) & (ours[:, 1] > 0)
     out["delta_altitude_max"] = float(np.nanmax(np.abs(ref[both_alt, 4] - ours[both_alt, 4]))) if both_alt.any() else None
+    # Host-state columns beyond distances: LED panel id (col 3, exact
+    # integer agreement) and corrected marker length (col 2).
+    if both_alt.any():
+        out["leds_agreement"] = float(
+            (ref[both_alt, 3] == ours[both_alt, 3]).mean()
+        )
+        out["delta_marker_length_max"] = float(
+            np.nanmax(np.abs(ref[both_alt, 2] - ours[both_alt, 2]))
+        )
     out["distance_delta_max"] = float(alld.max())
     out["distance_delta_mean"] = float(alld.mean())
     out["pass_0p1m"] = bool(alld.max() <= 0.1)
@@ -231,6 +244,9 @@ def main():
                     help="force the XLA preprocessing path (e.g. on CPU)")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run our pipeline on the host CPU backend")
+    ap.add_argument("--source_lidar", action="store_true",
+                    help="measure from the projected Lidar point instead of "
+                         "the host marker centre (reference sourceLidar)")
     ap.add_argument("--use_centroid_data", action="store_true",
                     help="also feed the vendored DCNN CSV to both sides and "
                          "diff the 22-col schema (reference :105-123,131-139)")
@@ -255,14 +271,15 @@ def main():
         frames_dir = render_frames(args.workdir, args.frames, args.altitude)
     dcnn_csv = args.dcnn_csv if args.use_centroid_data else None
     ref_csv = run_reference(args.workdir, frames_dir, args.frames,
-                            args.use_centroid_data, dcnn_csv)
+                            args.use_centroid_data, dcnn_csv, args.source_lidar)
     ours_csv = run_ours(args.workdir, frames_dir, args.frames, args.xla_preproc,
-                        args.force_cpu, dcnn_csv)
+                        args.force_cpu, dcnn_csv, args.source_lidar)
     summary = compare(ref_csv, ours_csv, args.use_centroid_data)
     summary["config"] = {
         "frames": args.frames, "altitude": args.altitude,
         "use_centroid_data": args.use_centroid_data,
         "xla_preproc": args.xla_preproc, "force_cpu": args.force_cpu,
+        "source_lidar": args.source_lidar,
     }
     print(json.dumps(summary, indent=2))
     print(json.dumps({"parity_pass": summary["pass_0p1m"],

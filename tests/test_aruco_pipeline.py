@@ -291,6 +291,9 @@ def test_altitude_fallback_on_host_gate_failure(cam):
             "utvec": jnp.asarray(utv),
             "rvec2": jnp.asarray(rv),
             "utvec2": jnp.asarray(utv),
+            "perr": jnp.ones((T, 4), jnp.float32),
+            "perr2": jnp.ones((T, 4), jnp.float32),
+            "pswap": jnp.zeros((T, 4), bool),
             "cx": jnp.asarray(cx),
             "cy": jnp.asarray(cy),
             "msp": jnp.asarray(msp),
