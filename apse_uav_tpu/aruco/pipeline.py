@@ -389,6 +389,8 @@ class ArucoPipeline:
                 # Per-basin debug channel (ungated fresh values) for parity
                 # analysis of the pose-ambiguity blend.
                 "dist_bbox_basin_a": d_bbox_a,
+                "basin_a_is_flat": a_is_flat4[:3],
+                "flat_margin": jnp.abs(flat_a4 - flat_b4)[:3],
                 "dist_bbox_basin_b": d_bbox_b,
                 "pose_gap": pose_gap,
                 "pose_swapped": f["pswap"][:3],

@@ -54,7 +54,7 @@ def track(workdir: str, n: int) -> None:
         cv2.imread(f"{workdir}/frames/image_{k:04d}.png").transpose(2, 0, 1)
         for k in range(1, n + 1)
     ]
-    res = {k: [] for k in ("a", "b", "gap", "swap")}
+    res = {k: [] for k in ("a", "b", "gap", "swap", "aflat")}
     first = True
     B = 6
     for s in range(0, n, B):
@@ -65,10 +65,13 @@ def track(workdir: str, n: int) -> None:
         res["b"].append(np.asarray(out["dist_bbox_basin_b"]))
         res["gap"].append(np.asarray(out["pose_gap"]))
         res["swap"].append(np.asarray(out["pose_swapped"]))
-    a, b, gap, swap = (np.concatenate(res[k]) for k in ("a", "b", "gap", "swap"))
+        res["aflat"].append(np.asarray(out["basin_a_is_flat"]))
+    a, b, gap, swap, aflat = (np.concatenate(res[k]) for k in ("a", "b", "gap", "swap", "aflat"))
     ref = pc.read_results(f"{workdir}/ref.csv", 16)[:n]
     stats = {v: [0, 0] for v in (1, 2, 3)}
+    flat_stats = {v: [0, 0] for v in (1, 2, 3)}
     init_stats = {v: [0, 0] for v in (1, 2, 3)}
+    flat_stats = {v: [0, 0] for v in (1, 2, 3)}
     print("frame veh  ref    dA     dB     gap    |ref-dA| |ref-dB| oracle_on")
     for v in range(3):
         dc = 7 + v * 3
@@ -80,12 +83,15 @@ def track(workdir: str, n: int) -> None:
             on_a = ea <= eb
             stats[v + 1][0 if on_a else 1] += 1
             init_stats[v + 1][0 if on_a != bool(swap[k, v]) else 1] += 1
+            on_flat = on_a == bool(aflat[k, v])
+            flat_stats[v + 1][0 if on_flat else 1] += 1
             print(
                 f"{k + 1:3d} veh{v + 1} {r:6.3f} {a[k, v]:6.3f} {b[k, v]:6.3f}"
                 f" {gap[k, v]:7.4f} {ea:6.3f} {eb:6.3f} {'A' if on_a else 'B'}"
             )
     print("oracle on [best-residual, other] basin (frames where basins differ):", stats)
     print("oracle on [init, mirrored] basin:", init_stats)
+    print("oracle on [flat, tilted] basin:", flat_stats)
 
 
 def cv2noise(frame_path: str, eps: float = 0.05, trials: int = 50) -> None:
