@@ -66,11 +66,14 @@ class DetectorParams:
     edge_points: int = 24  # samples per edge for line fitting
     error_correction_rate: float = 2.0
     max_border_errors: float = 0.35  # maxErroneousBitsInBorderRate semantics
-    # Scale-proportional score-map decimation (see _decimation).  False
-    # forces every scale onto the full pooled grid (A/B lever: on TPU the
-    # decimated path trades a few small resample ops for quadratically less
-    # box-sum + dilation traffic; on 1-core CPU the op overhead dominates).
-    decimate: bool = True
+    # Scale-proportional score-map decimation (see _decimation).  True
+    # trades a few small resample ops for quadratically less box-sum +
+    # dilation traffic — a win on paper (XLA cost analysis: ~1 GB/frame
+    # less), but MEASURED SLOWER on the v5e (proposals 4.72 vs 3.35
+    # ms/frame, detect 7.09 vs 5.97 — round 3 session 4): the cross-level
+    # resamples and small-grid passes relayout more than the saved traffic.
+    # Default False; kept as the A/B lever.
+    decimate: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -491,7 +494,7 @@ def _binarize(winimg: Array):
     return winimg < t, lo, hi
 
 
-def _largest_component(dark: Array, win: int, max_rounds: int | None = None) -> Array:
+def _largest_component(dark: Array, win: int, rounds: int = 3, mop: int = 8) -> Array:
     """Largest 4-connected component of the dark mask.
 
     Isolates the marker blob from nearby dark clutter (LED panels, asphalt
@@ -499,56 +502,72 @@ def _largest_component(dark: Array, win: int, max_rounds: int | None = None) -> 
     from such clutter by the white roof margin, so components are distinct.
 
     Min-labels propagate by SEGMENTED row/column min-scans (segments reset
-    at non-dark cells), not radius-1 neighbour steps: one scan carries a
-    label across an entire dark run, and the row+column rounds repeat to
-    FIXPOINT (lax.while_loop), so labeling is exact for every shape.  Quad
-    components (border ring + attached bit cells) converge in ~3 rounds —
-    the previous 48 radius-1 iterations were pure sequential latency and
-    still insufficient for a white-heavy code whose component is a bare
-    ring (geodesic diameter ~ half the perimeter, > 48 for large in-window
-    markers); a split label would truncate the blob and poison the corner
-    fit.  ``max_rounds`` caps degenerate serpentine shapes (default win/2,
-    enough for anything short of a perfect spiral).
+    at non-dark cells): one scan carries a label across an entire dark run.
+    Each directed scan is a single-i32 ``lax.cummin`` over keys
+    ``(R - runid)*K + label`` — within a dark run the runid is constant and
+    strictly beyond every run nearer the scan origin, so the prefix cummin
+    IS the segmented prefix min (runid counted from the scan origin, one
+    cumsum per direction, hoisted out of the round loop).  A FIXED
+    ``rounds`` of row+col sweeps plus ``mop`` fused radius-1 steps replaces
+    the previous while_loop-to-fixpoint: marker-class shapes (quad ring +
+    attached bit cells, broken C-rings) converge in <= 3 sweep rounds, and
+    a data-dependent while_loop gated on the slowest of B*K vmapped lanes
+    ran to its round cap on percolating noise masks — 54 ms/frame on TPU
+    vs ~1 ms for this fixed schedule (PERF_NOTES round 3).  Non-converged
+    clutter only ever SPLITS (labels refine toward scipy's components and
+    never merge separate ones), which shrinks clutter counts and cannot
+    displace an exactly-labeled marker blob.
     """
     n = win * win
     idx = jnp.arange(n, dtype=jnp.int32).reshape(win, win)
     sentinel = jnp.int32(n)
     labels = jnp.where(dark, idx, sentinel)
-    boundary = ~dark
-    if max_rounds is None:
-        max_rounds = max(win // 2, 4)
+    kk = jnp.int32(n + 1)
+    rr = jnp.int32(win + 1)
+    bi = (~dark).astype(jnp.int32)
+    terms = []  # per axis: (fwd run term, bwd run term)
+    for axis in (1, 0):
+        rf = jnp.cumsum(bi, axis=axis)
+        rb = jnp.flip(jnp.cumsum(jnp.flip(bi, axis), axis=axis), axis)
+        terms.append(((rr - rf) * kk, (rr - rb) * kk))
 
-    def comb(a, b):
-        v1, f1 = a
-        v2, f2 = b
-        return jnp.where(f2, v2, jnp.minimum(v1, v2)), f1 | f2
+    def sweep(lab, axis, tf, tb):
+        lf = jax.lax.cummin(tf + lab, axis=axis) - tf
+        lb = jax.lax.cummin(tb + lab, axis=axis, reverse=True) - tb
+        return jnp.where(dark, jnp.minimum(lab, jnp.minimum(lf, lb)), sentinel)
 
-    def sweep(lab, axis):
-        fwd, _ = jax.lax.associative_scan(comb, (lab, boundary), axis=axis)
-        bwd, _ = jax.lax.associative_scan(
-            comb, (lab, boundary), axis=axis, reverse=True
+    for _ in range(rounds):
+        labels = sweep(labels, 1, *terms[0])
+        labels = sweep(labels, 0, *terms[1])
+
+    def r1_step(_, lab):
+        p = jnp.pad(lab, 1, constant_values=sentinel)
+        neigh = jnp.minimum(
+            jnp.minimum(p[:-2, 1:-1], p[2:, 1:-1]),
+            jnp.minimum(p[1:-1, :-2], p[1:-1, 2:]),
         )
-        return jnp.where(dark, jnp.minimum(fwd, bwd), sentinel)
+        return jnp.where(dark, jnp.minimum(lab, neigh), sentinel)
 
-    def cond(state):
-        _, changed, i = state
-        return changed & (i < max_rounds)
-
-    def body(state):
-        lab, _, i = state
-        new = sweep(sweep(lab, 1), 0)
-        return new, jnp.any(new != lab), i + 1
-
-    # Initial `changed` must be data-derived (labels >= 0 is always True):
-    # under shard_map a literal True is device-unvarying while the body's
-    # jnp.any(...) is varying, and while_loop rejects the carry-type change.
-    labels, _, _ = jax.lax.while_loop(
-        cond, body, (labels, jnp.any(labels >= 0), jnp.int32(0))
-    )
+    if mop:
+        labels = jax.lax.fori_loop(0, mop, r1_step, labels)
+    # Component sizes as an MXU matmul, not a scatter: a root index
+    # r in [0, n) factors as (r // win, r % win), so the full n-bin
+    # histogram is onehotY^T @ onehotX — counts[ry, rx] =
+    # sum_c [lab_c//win==ry][lab_c%win==rx].  TPU scatter (segment_sum
+    # over n+1 bins) serialized at ~2.4 ms/frame here; the factored
+    # matmul is two (n, win) bf16 one-hots + one (win, n)@(n, win)
+    # f32-accumulated product (exact: 0/1 inputs, counts <= n < 2^24).
+    # Sentinel cells (lab == n) match no one-hot column and drop out;
+    # row-major argmax over (win, win) picks the smallest root on ties,
+    # matching segment_sum + argmax semantics.
     flat = labels.reshape(-1)
-    counts = jax.ops.segment_sum(jnp.ones_like(flat), flat, num_segments=n + 1)
-    counts = counts.at[n].set(0)  # ignore the sentinel
-    biggest = jnp.argmax(counts).astype(jnp.int32)
+    bins = jnp.arange(win, dtype=jnp.int32)
+    oh_y = (flat[:, None] // win == bins[None, :]).astype(jnp.bfloat16)
+    oh_x = (flat[:, None] % win == bins[None, :]).astype(jnp.bfloat16)
+    counts = jax.lax.dot_general(
+        oh_y, oh_x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (win, win): counts[ry, rx]
+    biggest = jnp.argmax(counts.reshape(-1)).astype(jnp.int32)
     return labels == biggest
 
 

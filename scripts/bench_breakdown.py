@@ -114,7 +114,8 @@ def main():
 
     if "cc" in stages:
         # Largest-component label propagation inside the candidate stage:
-        # 48 sequential masked-min iterations on (K, 64, 64) windows.
+        # fixed 3 cummin-sweep rounds + 8 radius-1 steps on (K, 64, 64)
+        # windows (cost is data-independent — no while_loop).
         K = 60
         dark0 = jnp.zeros((batch, K, 64, 64), bool).at[:, :, 16:48, 16:48].set(True)
 

@@ -100,13 +100,14 @@ def test_detects_all_markers_matching_cv2(scene, cam):
         assert err < 1.5, (i, err)
 
 
-def test_detect_full_resolution_fallback(scene):
-    """decimate=False (every scale on the full pooled grid — the A/B lever
-    for TPU profiling) must find the same markers as the default path."""
+def test_detect_decimated_path(scene):
+    """decimate=True (scale-proportional score-map pyramid — the non-default
+    side of the A/B lever; measured slower on the v5e, see DetectorParams)
+    must find the same markers as the default full-grid path."""
     from apse_uav_tpu.aruco.detector import DetectorParams
 
     _, gray = scene
-    det = ArucoDetector(DetectorParams(decimate=False))
+    det = ArucoDetector(DetectorParams(decimate=True))
     _, ids = det.detect(jnp.asarray(gray))
     ids = np.asarray(ids)
     assert set(ids[ids >= 0].tolist()) >= {1, 2, 3, 4}
@@ -122,16 +123,24 @@ def test_detect_batched(scene):
 
 
 def test_largest_component_matches_scipy_label():
-    """Segmented-scan component labeling == scipy.ndimage largest component
-    (4-connectivity), including the worst case the old radius-1 propagation
-    could NOT converge on: a bare border ring (geodesic diameter ~ half the
-    perimeter) plus separate clutter blobs."""
+    """Fixed-round segmented-sweep labeling == scipy.ndimage largest component
+    (4-connectivity) on every marker-class shape, including the worst case
+    the old radius-1 propagation could NOT converge on: a bare border ring
+    (geodesic diameter ~ half the perimeter) plus separate clutter blobs.
+
+    The schedule is FIXED (3 sweep rounds + 8 radius-1 steps, no while_loop
+    — a data-dependent fixpoint cost 54 ms/frame on TPU noise input), so on
+    arbitrary percolating masks exactness is not guaranteed; what IS
+    guaranteed — and asserted on noise below — is that labeling only ever
+    refines (never merges separate scipy components), so non-converged
+    clutter splits into smaller pieces and cannot displace an exactly
+    labeled marker blob."""
     import scipy.ndimage as ndi
 
     from apse_uav_tpu.aruco.detector import _largest_component
 
-    rng = np.random.default_rng(0)
     win = 64
+    struct = [[0, 1, 0], [1, 1, 1], [0, 1, 0]]
     masks = []
     # Bare ring spanning nearly the whole window (worst geodesic diameter).
     ring = np.zeros((win, win), bool)
@@ -144,14 +153,31 @@ def test_largest_component_matches_scipy_label():
     c = ring.copy()
     c[2:5, 28:36] = False
     masks.append(c | clutter)
-    # Random blobs (smoothed noise) — several components of varied shape.
-    for seed in range(4):
-        noise = np.random.default_rng(seed).random((win, win))
-        masks.append(ndi.uniform_filter(noise, 7) < 0.47)
+    # Quad with attached interior bit cells (a realistic decoded marker).
+    quad = np.zeros((win, win), bool)
+    quad[8:56, 8:56] = True
+    quad[14:50, 14:50] = False
+    for by in range(3):
+        for bx in range(3):
+            if (by + bx) % 2 == 0:
+                quad[16 + by * 11 : 24 + by * 11, 16 + bx * 11 : 24 + bx * 11] = True
+    quad[50:56, 20:28] = False  # notch the border: still one component
+    masks.append(quad | clutter)
     for m in masks:
-        labels, n = ndi.label(m, structure=[[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+        labels, n = ndi.label(m, structure=struct)
         assert n >= 1
         sizes = ndi.sum_labels(np.ones_like(labels), labels, range(1, n + 1))
         want = labels == (1 + int(np.argmax(sizes)))
         got = np.asarray(_largest_component(jnp.asarray(m), win))
         np.testing.assert_array_equal(got, want)
+    # Refinement invariant on arbitrary masks (smoothed + percolating noise):
+    # the selected mask is non-empty and lives inside ONE scipy component.
+    import scipy.ndimage as ndi
+
+    for seed in range(4):
+        noise = np.random.default_rng(seed).random((win, win))
+        for m in (ndi.uniform_filter(noise, 7) < 0.47, noise < 0.5):
+            labels, n = ndi.label(m, structure=struct)
+            got = np.asarray(_largest_component(jnp.asarray(m), win))
+            assert got.any() and got[~m].sum() == 0
+            assert len(set(labels[got].tolist())) == 1
