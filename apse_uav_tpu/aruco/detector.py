@@ -74,6 +74,13 @@ class DetectorParams:
     # resamples and small-grid passes relayout more than the saved traffic.
     # Default False; kept as the A/B lever.
     decimate: bool = False
+    # Fused Pallas proposals (pallas_proposals.py): the whole multi-scale
+    # scoring stage on VMEM-resident windows instead of ~30 HBM score-map
+    # passes.  Same semantics as the XLA path with decimate=False (tested
+    # equal); use on TPU.  ``pallas_interpret`` runs the kernel in
+    # interpreter mode (CPU tests only — slow).
+    pallas_proposals: bool = False
+    pallas_interpret: bool = False
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +182,11 @@ def _proposals(gray: Array, p: DetectorParams):
     st = p.proposal_stride
     g = gray.astype(jnp.float32)
     h4, w4 = h // st, w // st
-    pool = g[: h4 * st, : w4 * st].reshape(h4, st, w4, st).mean(axis=(1, 3))
+    # reduce_window, not reshape-mean: the (w -> (w4, st)) lane split
+    # relayouts the whole frame (~2 ms at 4K, measured round 3 session 4).
+    pool = jax.lax.reduce_window(
+        g[: h4 * st, : w4 * st], 0.0, jax.lax.add, (st, st), (st, st), "VALID"
+    ) / float(st * st)
     # Mean-centre before the integral image: a raw f32 cumsum over the
     # pooled 4K grid reaches ~1.3e8, so corner-difference box sums near the
     # frame's bottom-right carry +-16 absolute cancellation error (+-4 gray
@@ -835,14 +846,29 @@ class ArucoDetector:
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def detect(self, gray: Array):
-        if gray.ndim == 3:
-            return jax.vmap(self._detect_one)(gray)
-        return self._detect_one(gray)
+        p = self.params
+        squeeze = gray.ndim == 2
+        g3 = gray[None] if squeeze else gray
+        if p.pallas_proposals:
+            from apse_uav_tpu.aruco import pallas_proposals as pprop
+
+            props = pprop.proposals_batched(g3, p, interpret=p.pallas_interpret)
+        else:
+            props = jax.vmap(
+                lambda gi: _proposals(gi.astype(jnp.float32), p)
+            )(g3)
+        corners, ids = jax.vmap(self._candidates_one)(g3, *props)
+        return (corners[0], ids[0]) if squeeze else (corners, ids)
 
     def _detect_one(self, gray: Array):
         p = self.params
         g = gray.astype(jnp.float32)
         centers, sizes, scores, valid = _proposals(g, p)
+        return self._candidates_one(gray, centers, sizes, scores, valid)
+
+    def _candidates_one(self, gray: Array, centers, sizes, scores, valid):
+        p = self.params
+        g = gray.astype(jnp.float32)
 
         cap = _patch_size(*g.shape)
 

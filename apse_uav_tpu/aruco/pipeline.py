@@ -45,9 +45,10 @@ class ArucoPipelineConfig:
     leds_threshold: float | None = None
     use_pallas_preproc: bool = True
     # Frames remapped per Pallas grid step (amortizes the fixed per-step
-    # overhead across the batch; batch size must be a multiple).  1 = the
-    # measured round-3 configuration; A/B on hardware before changing.
-    preproc_frames_per_step: int = 1
+    # overhead across the batch; falls back to 1 when the batch size is
+    # not a multiple).  A/B on the v5e (round 3 session 4): f=1 4.06,
+    # f=2 3.93, f=4 9.85 ms/frame (VMEM pressure kills f=4) -> default 2.
+    preproc_frames_per_step: int = 2
 
     @property
     def diff_max(self) -> float:
@@ -148,6 +149,13 @@ class ArucoPipeline:
         self.mtx = jnp.asarray(mtx, jnp.float32)
         self.dist = jnp.asarray(np.asarray(dist).reshape(-1), jnp.float32)
         self.size_wh = tuple(size_wh)
+        if detector_params is None:
+            # Fused Pallas proposals ride with the Pallas preproc (TPU);
+            # the XLA path stays for CPU/tests and explicit params.
+            detector_params = DetectorParams(
+                pallas_proposals=self.cfg.use_pallas_preproc,
+                pallas_interpret=interpret,
+            )
         self.detector = ArucoDetector(detector_params)
         if self.cfg.use_pallas_preproc:
             from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor

@@ -104,6 +104,28 @@ def main():
             return g + bump
         report("det_nodec", timed(s_det_nd, gray0, iters))
 
+    if "proposals_pallas" in stages:
+        from apse_uav_tpu.aruco import pallas_proposals as pprop
+
+        @jax.jit
+        def s_prop_pl(g):
+            centers, sizes, vals, valid = pprop.proposals_batched(g, p, interpret=not on_tpu)
+            s = centers.sum() + sizes.sum() + vals.sum()
+            return g + (s.astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("prop_pallas", timed(s_prop_pl, gray0, iters))
+
+    if "detect_pallas" in stages:
+        det_pl = det.ArucoDetector(
+            _dc.replace(p, pallas_proposals=True, pallas_interpret=not on_tpu)
+        )
+
+        @jax.jit
+        def s_det_pl(g):
+            corners, ids = det_pl.detect(g)
+            bump = (corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1)
+            return g + bump
+        report("det_pallas", timed(s_det_pl, gray0, iters))
+
     if "detect" in stages:
         @jax.jit
         def s_det(g):

@@ -181,3 +181,50 @@ def test_largest_component_matches_scipy_label():
             got = np.asarray(_largest_component(jnp.asarray(m), win))
             assert got.any() and got[~m].sum() == 0
             assert len(set(labels[got].tolist())) == 1
+
+
+def test_pallas_proposals_matches_xla(scene):
+    """Fused Pallas proposals kernel (interpret mode) == the XLA
+    _proposals path with decimate=False: same candidate set per scale
+    (centers, sizes, validity) and scores to f32 tolerance.  Slot ORDER
+    within a scale may differ only between equal scores; compare as
+    score-sorted sets per scale."""
+    from apse_uav_tpu.aruco import pallas_proposals as pprop
+    from apse_uav_tpu.aruco.detector import DetectorParams, _proposals
+
+    _, gray = scene
+    p = DetectorParams()
+    g = jnp.asarray(gray)
+    cx, sx, vx, okx = _proposals(g.astype(jnp.float32), p)
+    cp_, sp_, vp_, okp = pprop.proposals_batched(g[None], p, interpret=True)
+    cp_, sp_, vp_, okp = cp_[0], sp_[0], vp_[0], okp[0]
+    k = p.per_scale_k
+    n = int(sx.shape[0])
+    assert sp_.shape == sx.shape
+    for a in range(0, n, k):
+        ours = {
+            (float(c[0]), float(c[1])): float(v)
+            for c, v, ok in zip(np.asarray(cp_[a : a + k]), np.asarray(vp_[a : a + k]), np.asarray(okp[a : a + k]))
+            if ok
+        }
+        want = {
+            (float(c[0]), float(c[1])): float(v)
+            for c, v, ok in zip(np.asarray(cx[a : a + k]), np.asarray(vx[a : a + k]), np.asarray(okx[a : a + k]))
+            if ok
+        }
+        # Same candidate positions; scores equal to f32 summation-order
+        # tolerance (per-window vs global integral image).
+        assert set(ours) == set(want), (a // k, ours, want)
+        for pos_key in ours:
+            assert abs(ours[pos_key] - want[pos_key]) < 5e-4, (a // k, pos_key)
+
+
+def test_pallas_proposals_full_detect(scene):
+    """End-to-end detect with the Pallas proposals path finds the same ids."""
+    from apse_uav_tpu.aruco.detector import DetectorParams
+
+    _, gray = scene
+    det = ArucoDetector(DetectorParams(pallas_proposals=True, pallas_interpret=True))
+    _, ids = det.detect(jnp.asarray(gray))
+    ids = np.asarray(ids)
+    assert set(ids[ids >= 0].tolist()) >= {1, 2, 3, 4}
