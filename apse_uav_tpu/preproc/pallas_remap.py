@@ -713,6 +713,23 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
         shifty = tab_ref[base + 2]
         qx_shift = tab_ref[base + 3]  # packed-lane roll (i32 words)
 
+        # 0/1 permutation matrix: perm column r = p*tw/4 + a maps to
+        # natural column 4a + p (see resample docstring).
+        _pr = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 0)
+        _pc = jax.lax.broadcasted_iota(jnp.int32, (tw, tw), 1)
+        # bf16 matrix + bf16 integer inputs = ONE MXU pass (f32 matmuls are
+        # multi-pass and measured ~0.6 ms/frame here); the permutation is a
+        # 0/1 selection of integers <= 255, all exact in bf16.
+        unperm_mat = (
+            ((_pc % 4) == (_pr // (tw // 4))) & ((_pc // 4) == (_pr % (tw // 4)))
+        ).astype(jnp.bfloat16)
+
+        def unperm_store(x):
+            """Truncate like the old u8 store, then permute exactly."""
+            xi = x.astype(jnp.int32).astype(jnp.bfloat16)
+            nat = jnp.dot(xi, unperm_mat, preferred_element_type=jnp.float32)
+            return nat.astype(jnp.int32).astype(jnp.uint8)
+
         def resample(src_rows, yres_p, lxres_p, dy_, dx_, nat_, rows_, fi=0):
             """Two-pass shift-MAC resample + LAB gamma + writes.
 
@@ -762,11 +779,16 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
                 c0, c1, c2 = planes_out
             else:
                 c0, c1, c2, gray = lab_gamma_gray_f32(planes_out[0], planes_out[1], planes_out[2], gamma)
+            # Reinterleave byte planes to NATURAL column order in-kernel as
+            # one 0/1 permutation matmul per output (perm col p*tw/4 + a ->
+            # natural 4a + p).  The MXU is idle in this kernel and the
+            # matmuls cost ~0.04 ms/frame; the XLA-side full-frame unperm
+            # they replace measured 0.62 ms/frame (round 3 session 4).
             if want_rgb:
-                out_ref[fi, 0] = c0.astype(jnp.int32).astype(jnp.uint8)
-                out_ref[fi, 1] = c1.astype(jnp.int32).astype(jnp.uint8)
-                out_ref[fi, 2] = c2.astype(jnp.int32).astype(jnp.uint8)
-            gray_ref[fi] = gray.astype(jnp.int32).astype(jnp.uint8)
+                out_ref[fi, 0] = unperm_store(c0)
+                out_ref[fi, 1] = unperm_store(c1)
+                out_ref[fi, 2] = unperm_store(c2)
+            gray_ref[fi] = unperm_store(gray)
 
         wait_for(slot, step)
 
@@ -791,10 +813,11 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             for f in range(fsteps):
                 w32 = s_u8[slot, f, 0, 0:th, 0 : tw // 4]
                 g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
+                gu = unperm_store(g.astype(jnp.float32))
                 if want_rgb:
                     for ch in range(3):
-                        out_ref[f, ch] = g.astype(jnp.uint8)
-                gray_ref[f] = g.astype(jnp.uint8)
+                        out_ref[f, ch] = gu
+                gray_ref[f] = gu
             return
 
         # Per-bucket bodies.  Exactly one branch runs per tile: bucket 0
@@ -929,9 +952,19 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
     # layout): the result is a genuine 32-bit array with an unambiguous
     # layout, well-typed as a DMA source in every calling context; the
     # kernel unpacks the bytes in VMEM.
-    fr4 = frames.reshape(bsz, 3, h, w // 4, 4).astype(jnp.int32)
-    byte_w = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
-    packed = jnp.sum(fr4 * byte_w, axis=-1, dtype=jnp.int32)  # little-endian
+    # Weight-then-pool, NOT reshape-then-sum: splitting the lane dim
+    # (w -> (w//4, 4)) relayouts the whole 4K frame (~1 ms/frame measured
+    # round 3 session 4).  Multiplying by the per-position byte weight
+    # 256^(x%4) is elementwise on the natural layout, and the stride-4
+    # window sum is a native pooling op.  i32 wraparound is the intended
+    # bit pattern (packing IS mod 2^32), little-endian as before.
+    byte_w = jnp.left_shift(
+        jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) % 4)
+    )
+    weighted = frames.astype(jnp.int32) * byte_w
+    packed = jax.lax.reduce_window(
+        weighted, jnp.int32(0), jax.lax.add, (1, 1, 1, 4), (1, 1, 1, 4), "VALID"
+    )
     padded = jnp.pad(
         packed,
         ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
@@ -997,15 +1030,9 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         interpret=interpret,
     )(table, yres0, lxres0, *subs_flat, padded)
 
-    def unperm(x):
-        # Kernel outputs are column-permuted WITHIN each tw-lane tile
-        # (perm col p*tw/4 + a <-> natural 4a + p); one cheap XLA relayout
-        # restores natural order for the whole frame.
-        lead = x.shape[:-1]
-        x = x.reshape(*lead, w // tw, 4, tw // 4)
-        x = jnp.swapaxes(x, -1, -2)
-        return x.reshape(*lead, w)
-
+    # Outputs are already in natural column order: the kernel reinterleaves
+    # byte planes with a 0/1 permutation matmul before each store (the old
+    # XLA-side full-frame unperm relayout measured 0.62 ms/frame).
     if want_rgb:
-        return unperm(res[0]), unperm(res[1])
-    return None, unperm(res[0])
+        return res[0], res[1]
+    return None, res[0]

@@ -75,9 +75,15 @@ def main():
 
         @jax.jit
         def s_pack(fr):
-            fr4 = fr.reshape(batch, 3, h, w // 4, 4).astype(jnp.int32)
-            byte_w = jnp.asarray([1, 1 << 8, 1 << 16, 1 << 24], jnp.int32)
-            packed = jnp.sum(fr4 * byte_w, axis=-1, dtype=jnp.int32)
+            # Mirrors pallas_remap._fused_preproc's weight-then-pool pack.
+            byte_w = jnp.left_shift(
+                jnp.int32(1),
+                8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) % 4),
+            )
+            packed = jax.lax.reduce_window(
+                fr.astype(jnp.int32) * byte_w, jnp.int32(0), jax.lax.add,
+                (1, 1, 1, 4), (1, 1, 1, 4), "VALID",
+            )
             padded = jnp.pad(
                 packed,
                 ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
