@@ -90,8 +90,13 @@ _REC_FIXED = 5  # oy, ox, shifty, qx_shift, nchunks; + one rank per non-calm buc
 
 def _pick_tiles(width: int, height: int) -> tuple[int, int]:
     """Output tile (TH, TW) for a frame size: biggest supported tile that
-    divides the frame (fewer grid steps = less per-step overhead)."""
-    for th in (40, 48, 32, 24, 16, 8):
+    divides the frame (fewer grid steps = less per-step overhead).
+    APSE_PREPROC_TH overrides the tile height for hardware A/B sweeps."""
+    import os as _os
+
+    th_env = int(_os.environ.get("APSE_PREPROC_TH", "0"))
+    ths = (th_env,) if th_env else (40, 48, 32, 24, 16, 8)
+    for th in ths:
         if height % th == 0:
             break
     else:
@@ -208,7 +213,7 @@ def build_remap_plan(
         key = hashlib.sha256(
             np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
             + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
-            + f"{size_wh}-{bucket_spans}-{ALIGN_Y}-{CHUNK_ROWS}-v9".encode()
+            + f"{size_wh}-{bucket_spans}-{ALIGN_Y}-{CHUNK_ROWS}-{_pick_tiles(*size_wh)}-v9".encode()
         ).hexdigest()[:16]
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
         path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
@@ -752,6 +757,13 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             # dy_ (or dx_*4) of them live at once, blowing the 16 MB
             # scoped-VMEM stack for the wild bucket's long chains.
             ss = [src_rows(fi, ch, nat_, rows_) for ch in range(3)]
+            # Tap d reads source rows [d, d + th); for large tiles the
+            # aligned window (rh) can be shorter than th + dy - 1.  Rows
+            # beyond the window are provably unconsumed (plan assert), so
+            # their residuals are 0 and every tap d >= 1 has zero weight
+            # there — zero-padding is exact.
+            if rows_ < th + dy_ - 1:
+                ss = [jnp.pad(s, ((0, th + dy_ - 1 - rows_), (0, 0))) for s in ss]
             vs = [jnp.zeros((th, nat_), jnp.float32) for _ in range(3)]
             for d in range(dy_):
                 w_d = jnp.maximum(0.0, 1.0 - jnp.abs(yres_p - float(d)))
