@@ -674,15 +674,20 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
 
         def dmas(slot_, bb, tti, ttj, k):
             base = (tti * ntx + ttj) * rec
-            oy = pl.multiple_of(tab_ref[base + 0], ALIGN_Y)
+            # Channel-merged window copy: the source interleaves channels at
+            # ALIGN_Y-row-group granularity (B*f, Hp/8, 3, 8, Wp4), so ONE
+            # box copy per chunk covers all 3 channels (the per-channel form
+            # issued 3x the DMAs and the window stage was issue-bound:
+            # ~2400 copies/frame at 4K measured ~1 ms).
+            cg = CHUNK_ROWS // ALIGN_Y
+            oy8 = pl.multiple_of(tab_ref[base + 0] // ALIGN_Y, 1)
             ox4 = pl.multiple_of(tab_ref[base + 1] // 4, ALIGN_X // 4)
             return [
                 pltpu.make_async_copy(
-                    src_ref.at[bb * fsteps + f, ch, pl.ds(oy + k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(ox4, rw4)],
-                    s_u8.at[slot_, f, ch, pl.ds(k * CHUNK_ROWS, CHUNK_ROWS), pl.ds(0, rw4)],
-                    sem.at[slot_, f, ch, k],
+                    src_ref.at[bb * fsteps + f, pl.ds(oy8 + k * cg, cg), :, :, pl.ds(ox4, rw4)],
+                    s_u8.at[slot_, f, pl.ds(k * cg, cg), :, :, pl.ds(0, rw4)],
+                    sem.at[slot_, f, k],
                 )
-                for ch in range(3)
                 for f in range(fsteps)
             ]
 
@@ -811,7 +816,10 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             # byte p (little-endian) of packed lane a.  (The roll's byte
             # residue is absorbed into the horizontal residuals on the
             # host, so no per-tile plane reorder is needed.)
-            p32 = s_u8[slot, fi, ch, 0:rh, 0:rw4]
+            # (rh/8, 8, rw4) channel view of the group-interleaved window;
+            # the row-group merge is a 16-segment sublane regroup in VMEM
+            # (cheap next to the HBM copies it replaces).
+            p32 = s_u8[slot, fi, :, ch, :, :].reshape(rh, rw4)
             p32 = pltpu.roll(p32, shift=shifty, axis=0)
             p32 = p32[0:rows_, :]
             p32 = pltpu.roll(p32, shift=qx_shift, axis=1)
@@ -823,7 +831,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
 
         if debug_mode == "dma_only":
             for f in range(fsteps):
-                w32 = s_u8[slot, f, 0, 0:th, 0 : tw // 4]
+                w32 = s_u8[slot, f, :, 0, :, :].reshape(rh, rw4)[0:th, 0 : tw // 4]
                 g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
                 gu = unperm_store(g.astype(jnp.float32))
                 if want_rgb:
@@ -982,6 +990,13 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
          (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
     )
+    # Interleave channels at ALIGN_Y-row-group granularity so the kernel's
+    # window copy is ONE box DMA per chunk instead of three per-channel
+    # copies (the window stage was DMA-issue-bound).  Outer-dim transpose:
+    # data moves in contiguous (8, Wp/4) row groups.
+    padded = padded.reshape(
+        bsz, 3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4
+    ).transpose(0, 2, 1, 3, 4)
     nty, ntx = h // th, w // tw
     # Frames per grid step: falls back to 1 when the batch does not divide.
     fsteps = frames_per_step if frames_per_step > 0 and bsz % frames_per_step == 0 else 1
@@ -1021,10 +1036,13 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (2, fsteps, 3, dims.rh, dims.rw // 4),
-                jnp.int32,  # i32-packed window (4 source bytes per lane)
+                # i32-packed window (4 source bytes per lane), channels
+                # interleaved at ALIGN_Y-row-group granularity to mirror
+                # the source layout (one box DMA covers all 3 channels).
+                (2, fsteps, dims.rh // ALIGN_Y, 3, ALIGN_Y, dims.rw // 4),
+                jnp.int32,
             ),
-            pltpu.SemaphoreType.DMA((2, fsteps, 3, max_chunks)),
+            pltpu.SemaphoreType.DMA((2, fsteps, max_chunks)),
         ],
     )
     out_shape = (
