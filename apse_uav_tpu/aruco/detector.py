@@ -165,12 +165,36 @@ def _kept_scales(h: int, w: int, p: DetectorParams) -> tuple:
     return tuple(kept)
 
 
+def _pool_gray(gray: Array, st: int) -> Array:
+    """Mean-pool gray by the proposal stride -> (h//st, w//st) f32.
+
+    reduce_window, not reshape-mean: the (w -> (w4, st)) lane split
+    relayouts the whole frame (~2 ms at 4K, measured round 3 session 4).
+    """
+    h, w = gray.shape
+    h4, w4 = h // st, w // st
+    g = gray.astype(jnp.float32)
+    return jax.lax.reduce_window(
+        g[: h4 * st, : w4 * st], 0.0, jax.lax.add, (st, st), (st, st), "VALID"
+    ) / float(st * st)
+
+
 def _proposals(gray: Array, p: DetectorParams):
+    """Top-K dark-square candidates from a full-resolution gray frame."""
+    return _proposals_from_pool(
+        _pool_gray(gray, p.proposal_stride), gray.shape[0], gray.shape[1], p
+    )
+
+
+def _proposals_from_pool(pool: Array, h: int, w: int, p: DetectorParams):
     """Top-K dark-square candidates: centers (K,2) yx, sizes (K,), scores (K,).
 
-    TPU layout: the image is first mean-pooled by ``proposal_stride`` (a
-    reshape-reduce) and then into a power-of-2 mean pyramid; each scale s is
-    scored on the pyramid level whose origin stride is <= s/8 px (exact
+    ``pool`` is the stride-pooled gray (h//st, w//st) f32 (un-centred); in
+    the two-pass preproc it comes straight from the pooled-source remap
+    kernel instead of pooling a full-resolution gray.
+
+    TPU layout: the pooled image feeds a power-of-2 mean pyramid; each scale
+    s is scored on the pyramid level whose origin stride is <= s/8 px (exact
     inner-box extents — the scale ladder is made of multiples of the level
     strides), so all box sums are unit-stride static slices on grids that
     SHRINK with the scale, and the decimated scales' dilation radii
@@ -178,15 +202,7 @@ def _proposals(gray: Array, p: DetectorParams):
     resamples adjacent scales' dilated maps between neighbouring pyramid
     levels (ratio <= 2).
     """
-    h, w = gray.shape
     st = p.proposal_stride
-    g = gray.astype(jnp.float32)
-    h4, w4 = h // st, w // st
-    # reduce_window, not reshape-mean: the (w -> (w4, st)) lane split
-    # relayouts the whole frame (~2 ms at 4K, measured round 3 session 4).
-    pool = jax.lax.reduce_window(
-        g[: h4 * st, : w4 * st], 0.0, jax.lax.add, (st, st), (st, st), "VALID"
-    ) / float(st * st)
     # Mean-centre before the integral image: a raw f32 cumsum over the
     # pooled 4K grid reaches ~1.3e8, so corner-difference box sums near the
     # frame's bottom-right carry +-16 absolute cancellation error (+-4 gray
@@ -422,6 +438,32 @@ def _bilinear(gray: Array, yx: Array) -> Array:
 def _patch_size(h: int, w: int) -> int:
     """Per-candidate patch side: 384 covers 2.4x the largest marker scale."""
     return min(384, (min(h, w) // 128) * 128) or min(h, w)
+
+
+def _patch_groups(h: int, w: int, p: DetectorParams) -> list:
+    """Contiguous per-scale slot groups sharing one patch size.
+
+    Returns [(start_slot, stop_slot, psize)] in slot-ladder order.  The
+    candidate stage sizes its sampling matmuls and patch DMA O(psize^2), so
+    small-scale candidates get small patches; the two-pass preproc's tile
+    selection uses the same groups so selected tiles exactly cover each
+    candidate's patch.
+    """
+    cap = _patch_size(h, w)
+    scales = _kept_scales(h, w, p)
+    k = p.per_scale_k
+    groups = []
+    for si, s in enumerate(scales):
+        ps = cap
+        for cand_ps in (128, 256):
+            if cand_ps >= 2.4 * s and cand_ps <= cap:
+                ps = cand_ps
+                break
+        if groups and groups[-1][2] == ps:
+            groups[-1] = (groups[-1][0], (si + 1) * k, ps)
+        else:
+            groups.append((si * k, (si + 1) * k, ps))
+    return groups
 
 
 def _extract_patch(gray: Array, center_yx: Array, psize: int):
@@ -866,11 +908,19 @@ class ArucoDetector:
         centers, sizes, scores, valid = _proposals(g, p)
         return self._candidates_one(gray, centers, sizes, scores, valid)
 
-    def _candidates_one(self, gray: Array, centers, sizes, scores, valid):
+    def _candidates_one(self, gray: Array, centers, sizes, scores, valid,
+                        covered: Array | None = None):
+        """covered: optional (K,) bool — two-pass preproc coverage mask.
+
+        Candidates whose patch tiles were not recomputed at full resolution
+        (tile-budget overflow) read garbage gray and MUST be invalidated
+        BEFORE the overlap dedup (their garbage rank could otherwise
+        suppress a genuine neighbour).
+        """
         p = self.params
         g = gray.astype(jnp.float32)
-
-        cap = _patch_size(*g.shape)
+        if covered is not None:
+            valid = valid & covered
 
         def one_candidate(center, size, ok, psize):
             # ONE dynamic_slice per candidate; every later sampling step is
@@ -917,19 +967,7 @@ class ArucoDetector:
         # O(psize^2) and patch DMA O(psize^2), so small-scale candidates get
         # small patches.  Slots are laid out per-scale in ladder order, so
         # same-psize groups are contiguous static slices of the slot arrays.
-        scales = _kept_scales(*g.shape, p)
-        k = p.per_scale_k
-        groups = []  # (start_slot, stop_slot, psize)
-        for si, s in enumerate(scales):
-            ps = cap
-            for cand_ps in (128, 256):
-                if cand_ps >= 2.4 * s and cand_ps <= cap:
-                    ps = cand_ps
-                    break
-            if groups and groups[-1][2] == ps:
-                groups[-1] = (groups[-1][0], (si + 1) * k, ps)
-            else:
-                groups.append((si * k, (si + 1) * k, ps))
+        groups = _patch_groups(*g.shape, p)
         outs = []
         for a, b, ps in groups:
             f = functools.partial(one_candidate, psize=ps)

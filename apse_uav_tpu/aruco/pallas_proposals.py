@@ -346,6 +346,21 @@ def proposals_batched(gray: jax.Array, p, interpret: bool = False, debug_mode: s
     pool = jax.lax.reduce_window(
         g, 0.0, jax.lax.add, (1, st, st), (1, st, st), "VALID"
     ) / float(st * st)
+    return proposals_batched_from_pool(pool, h, w, p, interpret=interpret, debug_mode=debug_mode)
+
+
+def proposals_batched_from_pool(pool: jax.Array, h: int, w: int, p,
+                                interpret: bool = False, debug_mode: str = "full"):
+    """proposals_batched on a precomputed stride-pooled gray (B, h4, w4) f32.
+
+    In the two-pass preproc the pool comes straight from the pooled-source
+    remap kernel — the full-resolution gray is never materialized for
+    proposal scoring.
+    """
+    bsz = pool.shape[0]
+    plan = make_plan(h, w, p)
+    st = plan.st
+    pool = pool[:, : plan.h4, : plan.w4]
     pool = pool - jnp.mean(pool, axis=(1, 2), keepdims=True)
     pooled_padded = jnp.pad(
         pool,

@@ -49,6 +49,19 @@ class ArucoPipelineConfig:
     # not a multiple).  A/B on the v5e (round 3 session 4): f=1 4.06,
     # f=2 3.93, f=4 9.85 ms/frame (VMEM pressure kills f=4) -> default 2.
     preproc_frames_per_step: int = 2
+    # Two-pass preprocessing (preproc.twopass): proposals score on a
+    # pooled-source remap (1/16 the resample+LAB cost) and full-res gray is
+    # recomputed EXACTLY only under the tiles covering valid candidates'
+    # patches.  Semantics shift only in proposal scores (pooling commutes
+    # with neither LAB nor the resample) and in the fixed tile budget;
+    # candidate-level gray is bit-identical.  Applies to both backends so
+    # the CPU oracle-parity harness gates the TPU path.
+    two_pass: bool = True
+    # Fixed tile budget for the full-res second pass (static shapes).  With
+    # (40, 256) tiles at 4K a budget of 256 covers ~2 full priority tiers
+    # of candidates (see aruco.patch_select); candidates beyond it are
+    # deterministically invalidated.
+    sel_tile_budget: int = 256
 
     @property
     def diff_max(self) -> float:
@@ -170,18 +183,86 @@ class ArucoPipeline:
             from apse_uav_tpu.preproc.remap import Preprocessor
 
             self.pre = Preprocessor(mtx, dist, size_wh)
+        if self.cfg.two_pass:
+            from apse_uav_tpu.preproc import twopass
+            from apse_uav_tpu.preproc.pallas_remap import _pick_tiles
+
+            st = self.detector.params.proposal_stride
+            w, h = self.size_wh
+            wp, hp = twopass.pooled_frame_size(w, h, st)
+            self._pooled_hw = (hp, wp)
+            mtx_p = twopass.pooled_camera(np.asarray(mtx, np.float64), st)
+            # The coverage bookkeeping uses the Pallas tile grid on BOTH
+            # backends so CPU (oracle parity) and TPU drop the same
+            # candidates when the tile budget overflows.
+            self._sel_th, self._sel_tw = _pick_tiles(w, h)
+            if self.cfg.use_pallas_preproc:
+                from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
+
+                self.pre_pooled = PallasPreprocessor(
+                    mtx_p, np.asarray(dist, np.float64), (wp, hp),
+                    interpret=interpret, want_rgb=False,
+                    frames_per_step=self.cfg.preproc_frames_per_step,
+                    valid_wh=(w // st, h // st),
+                )
+            else:
+                from apse_uav_tpu.preproc.remap import Preprocessor
+
+                self.pre_pooled = Preprocessor(mtx_p, dist, (wp, hp))
 
     # -- stateless front ----------------------------------------------------
+
+    def _detect_two_pass(self, frames: Array):
+        """Two-pass front: pooled-remap proposals, selected-tile full gray."""
+        from apse_uav_tpu.aruco import patch_select
+        from apse_uav_tpu.aruco.detector import _patch_groups, _proposals_from_pool
+        from apse_uav_tpu.preproc import twopass
+
+        p = self.detector.params
+        w, h = self.size_wh
+        st = p.proposal_stride
+        pooled_src = twopass.pool_source_u8(frames, st, self._pooled_hw)
+        if self.cfg.use_pallas_preproc:
+            _, pooled_gray = self.pre_pooled(pooled_src)
+        else:
+            _, pooled_gray = self.pre_pooled(jnp.transpose(pooled_src, (0, 2, 3, 1)))
+        pool = pooled_gray[:, : h // st, : w // st].astype(jnp.float32)
+        if p.pallas_proposals:
+            from apse_uav_tpu.aruco import pallas_proposals as pprop
+
+            props = pprop.proposals_batched_from_pool(pool, h, w, p, interpret=p.pallas_interpret)
+        else:
+            props = jax.vmap(lambda pi: _proposals_from_pool(pi, h, w, p))(pool)
+        centers, sizes, scores, valid = props
+        sel, covered = patch_select.select_tiles_batched(
+            centers, valid, h=h, w=w, th=self._sel_th, tw=self._sel_tw,
+            groups=tuple(_patch_groups(h, w, p)), t_sel=self.cfg.sel_tile_budget,
+            per_scale_k=p.per_scale_k,
+        )
+        if self.cfg.use_pallas_preproc:
+            gray = self.pre.selected(frames, sel)
+        else:
+            _, gray = self.pre(jnp.transpose(frames, (0, 2, 3, 1)))
+        corners, ids = jax.vmap(self.detector._candidates_one)(
+            gray, centers, sizes, scores, valid, covered
+        )
+        return gray, corners, ids
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def front(self, frames: Array):
         """frames (T, 3, H, W) u8 planar -> per-frame slot data + gray."""
+        if self.cfg.two_pass:
+            gray, corners, ids = self._detect_two_pass(frames)
+            return self._front_from_detections(gray, corners, ids)
         if self.cfg.use_pallas_preproc:
             _, gray = self.pre(frames)
         else:
             hwc = jnp.transpose(frames, (0, 2, 3, 1))
             _, gray = self.pre(hwc)
         corners, ids = self.detector.detect(gray)
+        return self._front_from_detections(gray, corners, ids)
+
+    def _front_from_detections(self, gray: Array, corners: Array, ids: Array):
         present, slot_corners = jax.vmap(_slot_by_id)(ids, corners)
         # Unit-length pose for every slot (invalid slots produce garbage that
         # is masked downstream).  Both planar-ambiguity basins are carried:

@@ -198,7 +198,7 @@ class RemapPlan:
 
 def build_remap_plan(
     mtx, dist, size_wh: tuple[int, int], bucket_spans=BUCKET_SPANS,
-    cache: bool = True,
+    cache: bool = True, valid_wh: tuple[int, int] | None = None,
 ) -> RemapPlan:
     """Build the per-tile plan from camera parameters (runs once, numpy f64).
 
@@ -213,7 +213,7 @@ def build_remap_plan(
         key = hashlib.sha256(
             np.ascontiguousarray(np.asarray(mtx, np.float64)).tobytes()
             + np.ascontiguousarray(np.asarray(dist, np.float64)).tobytes()
-            + f"{size_wh}-{bucket_spans}-{ALIGN_Y}-{CHUNK_ROWS}-{_pick_tiles(*size_wh)}-v9".encode()
+            + f"{size_wh}-{bucket_spans}-{ALIGN_Y}-{CHUNK_ROWS}-{_pick_tiles(*size_wh)}-{valid_wh}-v9".encode()
         ).hexdigest()[:16]
         cache_dir = os.path.join(os.path.expanduser("~"), ".cache", "apse_uav_tpu")
         path = os.path.join(cache_dir, f"remap_plan_{key}.npz")
@@ -233,7 +233,7 @@ def build_remap_plan(
                 sub_lxres=tuple(z[f"sub_lxres{b}"] for b in range(1, nb)),
                 table=z["table"],
             )
-        plan = build_remap_plan(mtx, dist, size_wh, bucket_spans, cache=False)
+        plan = build_remap_plan(mtx, dist, size_wh, bucket_spans, cache=False, valid_wh=valid_wh)
         os.makedirs(cache_dir, exist_ok=True)
         arrs = dict(
             width=plan.width, height=plan.height, th=plan.th, tw=plan.tw,
@@ -267,6 +267,16 @@ def build_remap_plan(
 
     uu, vv = np.meshgrid(np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64))
     mx, my = fwd(uu, vv)
+    if valid_wh is not None:
+        # Output pixels beyond the caller's valid region (alignment padding
+        # of a pooled frame) are never consumed — but the distortion
+        # polynomial evaluated that far outside the calibration can FOLD
+        # BACK into the image, poisoning tile spans with wild "live"
+        # samples.  Dead them to the clamp box: they resample to exact 0.
+        vw, vh = valid_wh
+        dead = (uu >= vw) | (vv >= vh)
+        mx = np.where(dead, -2.0, mx)
+        my = np.where(dead, -2.0, my)
     live = (mx > -1.0) & (mx < width) & (my > -1.0) & (my < height)
 
     pad_x = ALIGN_X  # clamp box is [-2, W+1] so one alignment unit suffices
@@ -626,7 +636,7 @@ def lab_gamma_gray_f32(c0, c1, c2, gamma: float):
 
 
 def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
-                 debug_mode: str = "full", fsteps: int = 1):
+                 debug_mode: str = "full", fsteps: int = 1, t_sel: int = 0):
     """debug_mode isolates kernel cost components for profiling ablations
     (scripts/bench_preproc_ablate.py); outputs are WRONG except in "full":
 
@@ -638,6 +648,16 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
     blocks).  Amortizes the fixed per-step cost (grid bookkeeping, bucket
     branch dispatch) over several frames of the SAME tile; window DMA and
     compute scale with fsteps, so the win is exactly the per-step overhead.
+
+    t_sel > 0: SELECTED-TILE mode (the two-pass preproc's second pass).
+    The grid becomes (t_sel, batch) and a second scalar-prefetch array
+    ``sel (B, t_sel) i32`` names which tile each step computes (tile id =
+    ty * ntx + tx, per frame — candidate-driven, see aruco.patch_select).
+    All per-tile machinery (window table, residual-field blocks, bucket
+    ranks) is keyed by the selected id, so the output tiles are
+    bit-identical to the full kernel's; unselected output tiles are never
+    written (garbage — the caller masks candidates accordingly).
+    fsteps must be 1 (selection differs per frame).
     """
     th, tw = dims.th, dims.tw
     rh, rw = dims.rh, dims.rw
@@ -647,7 +667,12 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
     rec = _REC_FIXED + nb - 1
     max_chunks = rh // CHUNK_ROWS
 
-    def kernel(tab_ref, yres0_ref, lxres0_ref, *rest):
+    def kernel(tab_ref, *args):
+        if t_sel:
+            sel_ref, yres0_ref, lxres0_ref, *rest = args
+        else:
+            sel_ref = None
+            yres0_ref, lxres0_ref, *rest = args
         sub_refs = rest[: 2 * (nb - 1)]
         src_ref = rest[2 * (nb - 1)]
         out_refs = rest[2 * (nb - 1) + 1:]
@@ -656,14 +681,26 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
         else:
             gray_ref, s_u8, sem = out_refs
             out_ref = None
-        # Grid order: (tile_y, tile_x, batch) with batch INNERMOST — the
-        # residual-field blocks depend only on the tile, so consecutive
-        # batch steps reuse them instead of re-fetching per frame.
-        ti = pl.program_id(0)
-        tj = pl.program_id(1)
-        b = pl.program_id(2)
-        nb_batch = pl.num_programs(2)
-        step = ((ti * ntx + tj) * nb_batch) + b
+        if t_sel:
+            # Selected-tile grid: (slot-in-selection, batch).
+            t = pl.program_id(0)
+            b = pl.program_id(1)
+            nb_batch = pl.num_programs(1)
+            step = t * nb_batch + b
+            tile_id = sel_ref[b, t]
+            ti = tile_id // ntx
+            tj = jax.lax.rem(tile_id, ntx)
+            n_steps = t_sel * nb_batch
+        else:
+            # Grid order: (tile_y, tile_x, batch) with batch INNERMOST — the
+            # residual-field blocks depend only on the tile, so consecutive
+            # batch steps reuse them instead of re-fetching per frame.
+            ti = pl.program_id(0)
+            tj = pl.program_id(1)
+            b = pl.program_id(2)
+            nb_batch = pl.num_programs(2)
+            step = ((ti * ntx + tj) * nb_batch) + b
+            n_steps = nb_batch * tiles
         slot = jax.lax.rem(step, 2)
 
         # The source is i32-packed (4 bytes/lane): offsets and widths are in
@@ -680,7 +717,9 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             # issued 3x the DMAs and the window stage was issue-bound:
             # ~2400 copies/frame at 4K measured ~1 ms).
             cg = CHUNK_ROWS // ALIGN_Y
-            oy8 = pl.multiple_of(tab_ref[base + 0] // ALIGN_Y, 1)
+            # Row-group index: no alignment guarantee beyond 1 (the sublane
+            # offset is handled by ALIGN_Y packing, not by Mosaic hints).
+            oy8 = tab_ref[base + 0] // ALIGN_Y
             ox4 = pl.multiple_of(tab_ref[base + 1] // 4, ALIGN_X // 4)
             return [
                 pltpu.make_async_copy(
@@ -692,10 +731,17 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             ]
 
         def _chunked(slot_, sstep, op):
-            ni = sstep // (ntx * nb_batch)
-            rem_ = jax.lax.rem(sstep, ntx * nb_batch)
-            nj = rem_ // nb_batch
-            bb = jax.lax.rem(rem_, nb_batch)
+            if t_sel:
+                tt = sstep // nb_batch
+                bb = jax.lax.rem(sstep, nb_batch)
+                stile = sel_ref[bb, tt]
+                ni = stile // ntx
+                nj = jax.lax.rem(stile, ntx)
+            else:
+                ni = sstep // (ntx * nb_batch)
+                rem_ = jax.lax.rem(sstep, ntx * nb_batch)
+                nj = rem_ // nb_batch
+                bb = jax.lax.rem(rem_, nb_batch)
             nch = tab_ref[(ni * ntx + nj) * rec + 4]
             for k in range(max_chunks):
                 @pl.when(k < nch)
@@ -715,7 +761,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
         def _():
             start_for(slot, step)
 
-        @pl.when(step + 1 < nb_batch * tiles)
+        @pl.when(step + 1 < n_steps)
         def _():
             start_for(1 - slot, step + 1)
 
@@ -914,8 +960,8 @@ class PallasPreprocessor:
 
     def __init__(self, mtx, dist, size_wh: tuple[int, int], gamma: float = 2.0, interpret: bool = False,
                  want_rgb: bool = True, plan: RemapPlan | None = None, debug_mode: str = "full",
-                 frames_per_step: int = 1):
-        self.plan = plan if plan is not None else build_remap_plan(mtx, dist, size_wh)
+                 frames_per_step: int = 1, valid_wh: tuple[int, int] | None = None):
+        self.plan = plan if plan is not None else build_remap_plan(mtx, dist, size_wh, valid_wh=valid_wh)
         self.gamma = float(gamma)
         self.interpret = interpret
         # want_rgb=False skips the 3-channel gamma-corrected output entirely
@@ -953,31 +999,44 @@ class PallasPreprocessor:
             frames_per_step=self.frames_per_step,
         )
 
+    def selected(self, frames: jax.Array, sel: jax.Array) -> jax.Array:
+        """Second-pass gray: recompute ONLY the tiles named by sel.
 
-@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode",
-                                              "frames_per_step"))
-def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
-                   *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
-                   debug_mode: str = "full", frames_per_step: int = 1):
-    if frames.ndim != 4 or frames.shape[1] != 3:
-        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
+        frames (B, 3, H, W) u8; sel (B, T_sel) i32 tile ids (ty*ntx+tx, see
+        aruco.patch_select).  Returns gray (B, H, W) u8 whose selected tiles
+        are bit-identical to the full kernel's output; unselected tiles are
+        UNWRITTEN (garbage) — candidates outside the selection must be
+        masked by the caller.
+        """
+        subs_flat = tuple(x for pair in self._subs for x in pair)
+        return _fused_preproc_selected(
+            frames, sel, self._table, self._yres0, self._lxres0, subs_flat,
+            dims=self._dims, gamma=self.gamma, interpret=self.interpret,
+        )
+
+
+def _pack_frames(frames: jax.Array, dims: "_PlanDims") -> jax.Array:
+    """Pack planar u8 frames into the kernel's channel-interleaved i32 form.
+
+    Mosaic (jax 0.9) models u8/i8 HBM arrays with a byte-packed tiled
+    layout whenever XLA chooses one (any nontrivial consumer graph), and
+    the manual-DMA verifier then rejects the window copy ("shape
+    mismatch", memref ...x4xi8).  Pack every 4 adjacent columns into one
+    int32 lane ARITHMETICALLY (a bitcast would keep the old buffer and its
+    layout): the result is a genuine 32-bit array with an unambiguous
+    layout, well-typed as a DMA source in every calling context; the
+    kernel unpacks the bytes in VMEM.
+    Weight-then-pool, NOT reshape-then-sum: splitting the lane dim
+    (w -> (w//4, 4)) relayouts the whole 4K frame (~1 ms/frame measured
+    round 3 session 4).  Multiplying by the per-position byte weight
+    256^(x%4) is elementwise on the natural layout, and the stride-4
+    window sum is a native pooling op.  i32 wraparound is the intended
+    bit pattern (packing IS mod 2^32), little-endian as before.
+    Channels are interleaved at ALIGN_Y-row-group granularity so the
+    kernel's window copy is ONE box DMA per chunk instead of three
+    per-channel copies (the window stage was DMA-issue-bound).
+    """
     bsz, _, h, w = frames.shape
-    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
-    th, tw = dims.th, dims.tw
-    # Mosaic (jax 0.9) models u8/i8 HBM arrays with a byte-packed tiled
-    # layout whenever XLA chooses one (any nontrivial consumer graph), and
-    # the manual-DMA verifier then rejects the window copy ("shape
-    # mismatch", memref ...x4xi8).  Pack every 4 adjacent columns into one
-    # int32 lane ARITHMETICALLY (a bitcast would keep the old buffer and its
-    # layout): the result is a genuine 32-bit array with an unambiguous
-    # layout, well-typed as a DMA source in every calling context; the
-    # kernel unpacks the bytes in VMEM.
-    # Weight-then-pool, NOT reshape-then-sum: splitting the lane dim
-    # (w -> (w//4, 4)) relayouts the whole 4K frame (~1 ms/frame measured
-    # round 3 session 4).  Multiplying by the per-position byte weight
-    # 256^(x%4) is elementwise on the natural layout, and the stride-4
-    # window sum is a native pooling op.  i32 wraparound is the intended
-    # bit pattern (packing IS mod 2^32), little-endian as before.
     byte_w = jnp.left_shift(
         jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) % 4)
     )
@@ -990,13 +1049,22 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
          (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
     )
-    # Interleave channels at ALIGN_Y-row-group granularity so the kernel's
-    # window copy is ONE box DMA per chunk instead of three per-channel
-    # copies (the window stage was DMA-issue-bound).  Outer-dim transpose:
-    # data moves in contiguous (8, Wp/4) row groups.
-    padded = padded.reshape(
+    return padded.reshape(
         bsz, 3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4
     ).transpose(0, 2, 1, 3, 4)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode",
+                                              "frames_per_step"))
+def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
+                   *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
+                   debug_mode: str = "full", frames_per_step: int = 1):
+    if frames.ndim != 4 or frames.shape[1] != 3:
+        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
+    bsz, _, h, w = frames.shape
+    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    th, tw = dims.th, dims.tw
+    padded = _pack_frames(frames, dims)
     nty, ntx = h // th, w // tw
     # Frames per grid step: falls back to 1 when the batch does not divide.
     fsteps = frames_per_step if frames_per_step > 0 and bsz % frames_per_step == 0 else 1
@@ -1066,3 +1134,67 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
     if want_rgb:
         return res[0], res[1]
     return None, res[0]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret"))
+def _fused_preproc_selected(frames, sel, table, yres0, lxres0, subs_flat,
+                            *, dims: _PlanDims, gamma: float, interpret: bool):
+    """Selected-tile second pass: gray for the tiles in ``sel`` only.
+
+    sel (B, T_sel) i32 tile ids; duplicates recompute the same tile
+    (harmless — identical content).  See _make_kernel's t_sel docs.
+    """
+    if frames.ndim != 4 or frames.shape[1] != 3:
+        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
+    bsz, _, h, w = frames.shape
+    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    assert sel.shape[0] == bsz, (sel.shape, bsz)
+    t_sel = int(sel.shape[1])
+    th, tw = dims.th, dims.tw
+    padded = _pack_frames(frames, dims)
+    nty, ntx = h // th, w // tw
+    kernel = _make_kernel(dims, gamma, want_rgb=False, fsteps=1, t_sel=t_sel)
+    nb = len(dims.bucket_dy)
+    rec = _REC_FIXED + nb - 1
+    max_chunks = dims.rh // CHUNK_ROWS
+
+    def tid(t, b, sel_r):
+        return sel_r[b, t]
+
+    def sub_idx(bi):
+        def f(t, b, tab, sel_r):
+            return (jnp.maximum(tab[tid(t, b, sel_r) * rec + _REC_FIXED + bi - 1], 0), 0, 0)
+        return f
+
+    sub_specs = []
+    for bi in range(1, nb):
+        sub_specs.append(pl.BlockSpec((1, th, dims.bucket_nat[bi]), sub_idx(bi)))
+        sub_specs.append(pl.BlockSpec((1, th, tw), sub_idx(bi)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t_sel, bsz),
+        in_specs=[
+            pl.BlockSpec((1, 1, th, dims.bucket_nat[0]),
+                         lambda t, b, tab, sel_r: (tid(t, b, sel_r) // ntx, jax.lax.rem(tid(t, b, sel_r), ntx), 0, 0)),
+            pl.BlockSpec((1, 1, th, tw),
+                         lambda t, b, tab, sel_r: (tid(t, b, sel_r) // ntx, jax.lax.rem(tid(t, b, sel_r), ntx), 0, 0)),
+            *sub_specs,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, th, tw),
+                         lambda t, b, tab, sel_r: (b, tid(t, b, sel_r) // ntx, jax.lax.rem(tid(t, b, sel_r), ntx))),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, dims.rh // ALIGN_Y, 3, ALIGN_Y, dims.rw // 4), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 1, max_chunks)),
+        ],
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),),
+        interpret=interpret,
+    )(table, sel.astype(jnp.int32), yres0, lxres0, *subs_flat, padded)
+    return res[0]

@@ -1,0 +1,75 @@
+"""Two-pass preprocessing: pooled proposals front + patch-level full-res pass.
+
+The reference preprocessing chain (aruco_detect.py:250-259) LABs and
+resamples every pixel of the 4K frame, but the detection pipeline consumes
+full-resolution gray only inside the candidate patches (<25% of the frame);
+proposal scoring runs on a stride-4 pooled grid anyway.  The two-pass
+structure exploits that:
+
+  pass 1 (always): pool the DISTORTED source by the proposal stride, remap
+      the pooled source on the pooled grid (same camera model, intrinsics
+      scaled — distortion acts on normalized coordinates, so only the
+      pixel<->normalized affine changes), LAB+gray at 1/st^2 cost.  Feeds
+      proposal scoring only.
+  pass 2 (candidate-driven): exact full-resolution undistort+LAB+gray under
+      the tiles covering the valid candidates' patches (pallas_remap
+      selected-tile mode / the XLA full remap on CPU).
+
+Pass 1 is an approximation of pool(remap(LAB(src))) — pooling commutes with
+neither the resample nor the LAB nonlinearity — so proposal scores shift
+slightly; candidate-level values are EXACT (same plan, same arithmetic),
+which the operating-point recall tests and the oracle parity harness gate.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def pooled_camera(mtx: np.ndarray, st: int) -> np.ndarray:
+    """Camera matrix for remapping the st-pooled source on the pooled grid.
+
+    Pooled pixel p covers source pixels [st*p, st*p + st) — centre
+    st*p + (st-1)/2.  Substituting u = st*u' + (st-1)/2 into the normalized
+    coordinates (and the same affine on the output side) gives the identical
+    distortion model with fx' = fx/st, cx' = (cx - (st-1)/2)/st.
+    """
+    c = (st - 1) / 2.0
+    m = np.array(mtx, dtype=np.float64)
+    m[0, 0] /= st
+    m[1, 1] /= st
+    m[0, 2] = (m[0, 2] - c) / st
+    m[1, 2] = (m[1, 2] - c) / st
+    return m
+
+
+def pooled_frame_size(width: int, height: int, st: int) -> tuple[int, int]:
+    """Pooled (W', H') padded so the remap plan's tile grid divides it.
+
+    Heights are padded to a multiple of 32 (a supported tile height divides
+    it); widths to a multiple of 128 (the Pallas TPU lowering needs the tile
+    width divisible by 128 lanes).  Padded rows/cols map outside the source
+    and come back 0.
+    """
+    w, h = width // st, height // st
+    return (-(-w // 128) * 128, -(-h // 32) * 32)
+
+
+def pool_source_u8(frames: Array, st: int, out_hw: tuple[int, int]) -> Array:
+    """Mean-pool planar u8 frames (B, 3, H, W) by st, round to u8, pad.
+
+    out_hw: (H', W') from pooled_frame_size (zero rows/cols appended).
+    """
+    b, c, h, w = frames.shape
+    s = jax.lax.reduce_window(
+        frames.astype(jnp.int32), jnp.int32(0), jax.lax.add,
+        (1, 1, st, st), (1, 1, st, st), "VALID",
+    )
+    area = st * st
+    pooled = ((s + area // 2) // area).astype(jnp.uint8)
+    hp, wp = out_hw
+    return jnp.pad(pooled, ((0, 0), (0, 0), (0, hp - h // st), (0, wp - w // st)))

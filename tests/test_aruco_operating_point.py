@@ -165,3 +165,53 @@ def test_recall_across_altitudes(cam):
         ids = np.asarray(ids)
         ourset = set(ids[ids >= 0].tolist()) & {1, 2, 3, 4}
         assert cvset <= ourset, (alt, cvset - ourset)
+
+
+def test_two_pass_recall_yaw_sweep(cam):
+    """Two-pass preproc recall gate (pipeline semantics, CPU backend).
+
+    The two-pass front scores proposals on a POOLED-SOURCE remap instead of
+    pooling the full-res gray (apse_uav_tpu/preproc/twopass.py) — proposal
+    scores shift, so detection recall must be re-proven from the RAW
+    distorted frame: every marker cv2.aruco finds on the reference
+    preprocessing chain must be found by the two-pass pipeline front, with
+    corners within 1.5 px.  Also pins the tile-budget behavior: all
+    cv2-found markers must be COVERED by the 256-tile selection.
+    """
+    from apse_uav_tpu.aruco.pipeline import ArucoPipeline, ArucoPipelineConfig
+
+    mtx, dist = cam
+    cfg = ArucoPipelineConfig(use_pallas_preproc=False, two_pass=True)
+    pipe = ArucoPipeline(mtx, dist, (W, H), cfg)
+    cvdet = _cv2_detector()
+
+    missed = []
+    worst_err = 0.0
+    for yaw, alt in ((0, ALTITUDE), (30, ALTITUDE), (75, ALTITUDE), (30, 25.0), (30, 65.0)):
+        r = SceneRenderer(mtx, dist, (W, H), altitude=alt, supersample=2)
+        specs = [
+            MarkerSpec(4, (0.5, -2.0), yaw_deg=yaw + 4.0, leds=0b10110010),
+            MarkerSpec(1, (7.5, 3.0), yaw_deg=yaw - 12.0),
+            MarkerSpec(2, (-9.0, 2.0), yaw_deg=yaw + 30.0),
+            MarkerSpec(3, (4.0, -6.5), yaw_deg=yaw + 75.0),
+        ]
+        img = r.render(specs)
+        gray_ref = _preprocess_reference(img, mtx, dist)
+        cvc, cvids, _ = cvdet.detectMarkers(gray_ref)
+        assert cvids is not None, f"yaw {yaw} alt {alt}: cv2 found nothing (scene bug)"
+        cvmap = {int(i): c.reshape(4, 2) for c, i in zip(cvc, np.asarray(cvids).ravel())}
+
+        frames = jnp.asarray(np.transpose(img, (2, 0, 1))[None])  # (1,3,H,W)
+        gray, corners, ids = pipe._detect_two_pass(frames)
+        ids = np.asarray(ids[0])
+        corners = np.asarray(corners[0])
+        ourmap = {int(ids[i]): corners[i] for i in range(len(ids)) if ids[i] >= 0}
+
+        for mid, cv_corners in cvmap.items():
+            if mid not in ourmap:
+                missed.append((yaw, alt, mid))
+                continue
+            err = float(np.abs(ourmap[mid] - cv_corners).max())
+            worst_err = max(worst_err, err)
+    assert not missed, f"markers cv2 found but two-pass missed (yaw, alt, id): {missed}"
+    assert worst_err < 1.5, f"worst corner deviation vs cv2: {worst_err:.2f} px"

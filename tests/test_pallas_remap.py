@@ -138,3 +138,95 @@ def test_multi_frame_steps_bit_identical():
     pre2 = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False, frames_per_step=2)
     _, g3 = pre2(jnp.asarray(fr[:3]))
     assert (np.asarray(g3) == np.asarray(g1[:3])).all()
+
+
+def test_selected_tile_kernel_bit_identical():
+    """Selected-tile mode (two-pass second pass): every selected tile must be
+    BIT-identical to the full kernel's output — same plan, same arithmetic,
+    only the grid changes (pallas_remap._fused_preproc_selected)."""
+    h, w = 720, 1280
+    mtx, dist = _scaled_cam(w, h)
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 3, h, w), dtype=np.uint8))
+    _, gray_full = pre(frames)
+    gray_full = np.asarray(gray_full)
+    th, tw = pre.plan.th, pre.plan.tw
+    nty, ntx = h // th, w // tw
+    # Random selections incl. a duplicate entry (dedup is the caller's
+    # problem; duplicates must still produce identical content).
+    sel = np.stack([rng.permutation(nty * ntx)[:9] for _ in range(2)]).astype(np.int32)
+    sel = np.concatenate([sel, sel[:, :1]], axis=1)
+    gray_sel = np.asarray(pre.selected(frames, jnp.asarray(sel)))
+    for b in range(2):
+        for t in np.unique(sel[b]):
+            ty, tx = divmod(int(t), ntx)
+            got = gray_sel[b, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            want = gray_full[b, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+            np.testing.assert_array_equal(got, want, err_msg=f"tile {t} frame {b}")
+
+
+def test_pooled_camera_remap_matches_scaled_chain():
+    """preproc.twopass.pooled_camera: remapping the pooled source with the
+    scaled intrinsics must agree with cv2's remap of the pooled image under
+    the SAME scaled model (exactness of the affine substitution — the
+    approximation vs pool-of-full-remap is gated by the recall tests)."""
+    from apse_uav_tpu.preproc import twopass
+    from apse_uav_tpu.preproc.remap import Preprocessor
+
+    h, w = 736, 1280
+    st = 4
+    mtx, dist = _scaled_cam(w, h)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    frames = jnp.asarray(np.transpose(img, (2, 0, 1))[None])
+    wp, hp = twopass.pooled_frame_size(w, h, st)
+    mtx_p = twopass.pooled_camera(mtx, st)
+    pooled = np.asarray(twopass.pool_source_u8(frames, st, (hp, wp)))[0]
+    pooled_hwc = np.transpose(pooled, (1, 2, 0))
+    _, ours = Preprocessor(mtx_p, dist, (wp, hp))(jnp.asarray(pooled_hwc))
+    _, ref = _reference_chain(pooled_hwc, mtx_p, np.asarray(dist), wp, hp)
+    d = np.abs(np.asarray(ours).astype(int) - ref.astype(int))
+    # Interior agreement within 1 gray level for >=99% of pixels (cv2's
+    # fixed-point LAB tables vs our float math).
+    inner = d[4 : h // st - 4, 4 : w // st - 4]
+    assert np.mean(inner <= 1) > 0.99, np.mean(inner <= 1)
+
+
+def test_select_tiles_covers_patches():
+    """patch_select: selected tiles exactly cover each covered candidate's
+    _extract_patch read; brute-force check of the budget/priority rules."""
+    import jax
+
+    from apse_uav_tpu.aruco.patch_select import select_tiles
+
+    h, w, th, tw = 2160, 3840, 40, 256
+    groups = ((0, 6, 128), (6, 10, 256))
+    k, per_k = 10, 5
+    rng = np.random.default_rng(5)
+    centers = jnp.asarray(rng.uniform(0, [h, w], (k, 2)).astype(np.float32))
+    valid = jnp.asarray(np.array([1, 1, 0, 1, 1, 1, 1, 1, 1, 0], bool))
+    for t_sel in (16, 64, 512):
+        sel, covered = jax.jit(
+            lambda c, v: select_tiles(c, v, h=h, w=w, th=th, tw=tw, groups=groups,
+                                      t_sel=t_sel, per_scale_k=per_k)
+        )(centers, valid)
+        sel, covered = np.asarray(sel), np.asarray(covered)
+        ntx = w // tw
+        sel_set = set(sel.tolist())
+        psz = np.where(np.arange(k) < 6, 128, 256)
+        for c in range(k):
+            if not covered[c]:
+                continue
+            cy, cx = np.round(np.asarray(centers[c]))
+            oy = int(np.clip(cy - psz[c] // 2, 0, h - psz[c]))
+            ox = int(np.clip(cx - psz[c] // 2, 0, w - psz[c]))
+            need = {
+                int(ty * ntx + tx)
+                for ty in range(oy // th, (oy + psz[c] - 1) // th + 1)
+                for tx in range(ox // tw, (ox + psz[c] - 1) // tw + 1)
+            }
+            assert need <= sel_set, (c, need - sel_set)
+        assert not covered[2] and not covered[9]  # invalid candidates
+        if t_sel == 512:
+            assert covered.sum() == valid.sum()  # big budget covers all valid
