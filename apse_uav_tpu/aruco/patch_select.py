@@ -37,7 +37,7 @@ def select_tiles(centers: Array, valid: Array, *, h: int, w: int, th: int, tw: i
     centers: (K, 2) f32 yx proposal centres; valid: (K,) bool.
     groups: detector._patch_groups output ((start, stop, psize), ...).
     Returns (sel (t_sel,) i32 tile ids  [tile id = ty * ntx + tx; entries
-    beyond the demanded set are arbitrary ids — extra compute, never reads],
+    beyond the demanded set are -1 padding, skipped by the kernel],
     covered (K,) bool — True iff every tile of the candidate's patch was
     selected).
     """
@@ -81,7 +81,9 @@ def select_tiles(centers: Array, valid: Array, *, h: int, w: int, th: int, tw: i
         demanded.reshape(-1), (big - prio_t.reshape(-1)) * n_tiles + (n_tiles - 1 - tid), -1
     )
     top_v, top_i = jax.lax.top_k(score, t_sel)
-    sel = top_i.astype(jnp.int32)
+    # Padding entries get -1: the selected-tile kernel skips them entirely
+    # (no DMA, no compute), so second-pass cost tracks the TRUE demand.
+    sel = jnp.where(top_v >= 0, top_i.astype(jnp.int32), -1)
     # Selected set = scores >= the t_sel-th (scores are unique), demanded only.
     kth = jnp.maximum(top_v[-1], 0)
     tile_sel = (score >= kth) & (score >= 0)  # (n_tiles,)

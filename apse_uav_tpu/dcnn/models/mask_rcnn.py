@@ -85,6 +85,18 @@ class MaskRCNN(nn.Module):
             # PrecomputedProposals regime (finetune_segmentation.py:82-93):
             # the RPN is bypassed and GT boxes feed the ROI heads directly.
             return self.losses(images, gt, rng, gt_proposals=True, freeze_backbone=freeze_backbone)
+        if mode == "roi_features":
+            # COWC ROI-feature precompute (cowc_utils.py:182-193): backbone
+            # -> box_pooler -> box_head FC trunk on PROVIDED boxes, no RPN,
+            # no predictors.  gt = {"boxes": (B, N, 4) xyxy}.
+            feats = self.backbone(self._normalize(images))
+            cfg = self.cfg
+
+            def per_image(feats_i, boxes_i):
+                pooled = fpn_roi_align(feats_i, boxes_i, cfg.roi.box_pooler_resolution, cfg.roi.pooler_sampling_ratio)
+                return self.box_head(pooled, features_only=True)
+
+            return jax.vmap(per_image)(feats, gt["boxes"])
         raise ValueError(mode)
 
     def inference(self, images: Array, rpn_levels: tuple[str, ...] | None = None) -> tuple[dict[str, Array], dict[str, Array]]:

@@ -73,12 +73,20 @@ class BoxHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array) -> tuple[Array, Array]:
-        """x (N, C, R, R) -> (scores (N, K+1), deltas (N, K, 4))."""
+    def __call__(self, x: Array, features_only: bool = False):
+        """x (N, C, R, R) -> (scores (N, K+1), deltas (N, K, 4)).
+
+        features_only=True returns the FC-trunk activations (N, fc_dim)
+        instead — detectron2's ``box_head`` output, which the COWC
+        ROI-feature precompute caches (reference dcnn/utils/cowc_utils.py:
+        187-189, box_pooler -> box_head without the predictors).
+        """
         n = x.shape[0]
         x = x.reshape(n, -1).astype(self.dtype)
         for i in range(self.num_fc):
             x = nn.relu(nn.Dense(self.fc_dim, name=f"fc{i + 1}")(x))
+        if features_only:
+            return x.astype(jnp.float32)
         # detectron2 FastRCNNOutputLayers init: cls normal(0.01), box
         # normal(0.001) (modeling/roi_heads/fast_rcnn.py) — near-uniform
         # class prior and near-identity box regression at step 0.

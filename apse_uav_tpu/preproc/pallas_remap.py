@@ -682,12 +682,15 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             gray_ref, s_u8, sem = out_refs
             out_ref = None
         if t_sel:
-            # Selected-tile grid: (slot-in-selection, batch).
+            # Selected-tile grid: (slot-in-selection, batch).  Negative ids
+            # are padding: no DMA, no compute, output to the garbage row.
             t = pl.program_id(0)
             b = pl.program_id(1)
             nb_batch = pl.num_programs(1)
             step = t * nb_batch + b
-            tile_id = sel_ref[b, t]
+            tile_raw = sel_ref[b, t]
+            active = tile_raw >= 0
+            tile_id = jnp.maximum(tile_raw, 0)
             ti = tile_id // ntx
             tj = jax.lax.rem(tile_id, ntx)
             n_steps = t_sel * nb_batch
@@ -734,15 +737,18 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             if t_sel:
                 tt = sstep // nb_batch
                 bb = jax.lax.rem(sstep, nb_batch)
-                stile = sel_ref[bb, tt]
+                stile_raw = sel_ref[bb, tt]
+                stile = jnp.maximum(stile_raw, 0)
                 ni = stile // ntx
                 nj = jax.lax.rem(stile, ntx)
+                # Padding entries (-1): zero chunks — no window DMA at all.
+                nch = jnp.where(stile_raw >= 0, tab_ref[(ni * ntx + nj) * rec + 4], 0)
             else:
                 ni = sstep // (ntx * nb_batch)
                 rem_ = jax.lax.rem(sstep, ntx * nb_batch)
                 nj = rem_ // nb_batch
                 bb = jax.lax.rem(rem_, nb_batch)
-            nch = tab_ref[(ni * ntx + nj) * rec + 4]
+                nch = tab_ref[(ni * ntx + nj) * rec + 4]
             for k in range(max_chunks):
                 @pl.when(k < nch)
                 def _():
@@ -903,10 +909,11 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
                     lr = sub_refs[2 * (bi - 1) + 1][0]
                     resample(rows, yr, lr, dy_, dx_, nat_, rows_, fi=f)
 
-        live_rest = [bi for bi in range(1, nb) if dims.bucket_used[bi]]
-        if not live_rest:
-            body_for(0)
-        else:
+        def run_body():
+            live_rest = [bi for bi in range(1, nb) if dims.bucket_used[bi]]
+            if not live_rest:
+                body_for(0)
+                return
             in_calm = ranks[live_rest[0] - 1] < 0
             for bi in live_rest[1:]:
                 in_calm = in_calm & (ranks[bi - 1] < 0)
@@ -919,6 +926,15 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
                 @pl.when(ranks[bi - 1] >= 0)
                 def _(bi=bi):
                     body_for(bi)
+
+        if t_sel:
+            # Padding steps compute nothing (their out block is the garbage
+            # row; its stale VMEM content lands there, never in the frame).
+            @pl.when(active)
+            def _():
+                run_body()
+        else:
+            run_body()
 
     return kernel
 
@@ -1159,7 +1175,7 @@ def _fused_preproc_selected(frames, sel, table, yres0, lxres0, subs_flat,
     max_chunks = dims.rh // CHUNK_ROWS
 
     def tid(t, b, sel_r):
-        return sel_r[b, t]
+        return jnp.maximum(sel_r[b, t], 0)  # clamp padding (-1) for index math
 
     def sub_idx(bi):
         def f(t, b, tab, sel_r):
@@ -1183,8 +1199,14 @@ def _fused_preproc_selected(frames, sel, table, yres0, lxres0, subs_flat,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
+            # Padding entries (sel < 0) write their (stale) out block to a
+            # dedicated garbage tile row appended below the frame.
             pl.BlockSpec((1, th, tw),
-                         lambda t, b, tab, sel_r: (b, tid(t, b, sel_r) // ntx, jax.lax.rem(tid(t, b, sel_r), ntx))),
+                         lambda t, b, tab, sel_r: (
+                             b,
+                             jnp.where(sel_r[b, t] >= 0, tid(t, b, sel_r) // ntx, nty),
+                             jnp.maximum(jax.lax.rem(tid(t, b, sel_r), ntx), 0),
+                         )),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 1, dims.rh // ALIGN_Y, 3, ALIGN_Y, dims.rw // 4), jnp.int32),
@@ -1194,7 +1216,7 @@ def _fused_preproc_selected(frames, sel, table, yres0, lxres0, subs_flat,
     res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((bsz, h, w), jnp.uint8),),
+        out_shape=(jax.ShapeDtypeStruct((bsz, h + th, w), jnp.uint8),),
         interpret=interpret,
     )(table, sel.astype(jnp.int32), yres0, lxres0, *subs_flat, padded)
-    return res[0]
+    return res[0][:, :h]

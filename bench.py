@@ -53,24 +53,49 @@ def main() -> None:
     cfg = ArucoPipelineConfig(use_pallas_preproc=on_tpu)
     pipe = ArucoPipeline(mtx, dist, size_wh, cfg)
 
-    rng = np.random.default_rng(0)
-    frames = jax.device_put(rng.integers(0, 255, (batch, 3, h, w), dtype=np.uint8))
+    # Frames are RENDERED 4-marker scenes, not noise: the two-pass preproc's
+    # second pass costs what the candidates demand, so the benchmark input
+    # must carry the real operating distribution (markers + clutter
+    # candidates), not pathological noise with near-zero proposal scores.
+    from apse_uav_tpu.utils.synthetic import MarkerSpec, SceneRenderer
+
+    r = SceneRenderer(mtx, dist, size_wh, altitude=40.0, supersample=1)
+    base_np = np.empty((batch, 3, h, w), np.uint8)
+    for i in range(batch):
+        img = r.render([
+            MarkerSpec(4, (0.5, -2.0), yaw_deg=14.0 + 7 * i, leds=0b1010),
+            MarkerSpec(1, (7.5, 3.0), yaw_deg=40.0 + 5 * i),
+            MarkerSpec(2, (-9.0, 2.0), yaw_deg=70.0 - 9 * i),
+            MarkerSpec(3, (4.0, -6.5), yaw_deg=5.0 + 11 * i),
+        ])
+        # Scale to <= 200 so the evolving +0..47 brightness shift (below)
+        # cannot wrap uint8; contrast is preserved (markers stay trivial).
+        base_np[i] = np.transpose((img.astype(np.uint16) * 200 // 255).astype(np.uint8), (2, 0, 1))
+    base = jax.device_put(base_np)
     carry0 = init_carry(cfg)
 
     @jax.jit
-    def step(fr):
+    def step(base_, fr, k):
+        # base_ is an ARGUMENT, not a closure capture: captured device
+        # arrays embed as HLO constants and a 200 MB constant overflows the
+        # tunnel's remote-compile request (HTTP 413).
         f = pipe.front(fr)
         firsts = jnp.zeros(fr.shape[0], bool).at[0].set(True)
         carry, out = pipe.scan(carry0, f, firsts, jnp.zeros((fr.shape[0], 17), jnp.int32))
-        bump = out["dist_aruco"].sum().astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1)
-        return fr + bump
+        # Evolve the buffer THROUGH the computation (the tunneled runtime
+        # memoizes repeated executions on identical inputs): a per-iteration
+        # brightness shift derived from the pipeline output, non-cycling
+        # within the run and wrap-free on the scaled scenes.
+        bump = jnp.maximum(out["dist_aruco"].sum().astype(jnp.int32) % 3, 1)
+        k = k + bump
+        return base_ + (k % 48).astype(jnp.uint8), k
 
-    frames = step(frames)
+    frames, k = step(base, base, jnp.int32(1))
     _ = float(frames[0, 0, 0, 0])  # force warmup completion
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        frames = step(frames)
+        frames, k = step(base, frames, k)
     _ = float(frames[0, 0, 0, 0])  # host read: forces the whole chain
     dt = time.perf_counter() - t0
 

@@ -197,6 +197,74 @@ def main():
             return fr + bump
         report("full", timed(s_full, frames, iters))
 
+    # --- two-pass preproc stage attribution (cfg.two_pass) ------------------
+    tp_stages = {"tp_pool", "tp_pooledfront", "tp_props", "tp_select", "tp_selpass", "tp_cand"}
+    if cfg.two_pass and tp_stages & set(stages):
+        from apse_uav_tpu.aruco import patch_select
+        from apse_uav_tpu.aruco.detector import _patch_groups
+        from apse_uav_tpu.preproc import twopass
+
+        st = p.proposal_stride
+        groups = tuple(_patch_groups(h, w, p))
+
+        def pooled_src_of(fr):
+            return twopass.pool_source_u8(fr, st, pipe._pooled_hw)
+
+        def props_of(fr):
+            _, pg = pipe.pre_pooled(pooled_src_of(fr))
+            pool = pg[:, : h // st, : w // st].astype(jnp.float32)
+            from apse_uav_tpu.aruco import pallas_proposals as pprop
+            return pprop.proposals_batched_from_pool(pool, h, w, p)
+
+        def sel_of(fr):
+            centers, sizes, scores, valid = props_of(fr)
+            return patch_select.select_tiles_batched(
+                centers, valid, h=h, w=w, th=pipe._sel_th, tw=pipe._sel_tw,
+                groups=groups, t_sel=cfg.sel_tile_budget, per_scale_k=p.per_scale_k)
+
+        if "tp_pool" in stages:
+            @jax.jit
+            def s_tpp(fr):
+                ps = pooled_src_of(fr)
+                return fr + (ps.sum(dtype=jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_pool", timed(s_tpp, frames, iters))
+
+        if "tp_pooledfront" in stages:
+            @jax.jit
+            def s_tpf(fr):
+                _, pg = pipe.pre_pooled(pooled_src_of(fr))
+                return fr + (pg.sum(dtype=jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_pooledfront", timed(s_tpf, frames, iters))
+
+        if "tp_props" in stages:
+            @jax.jit
+            def s_tpr(fr):
+                centers, _, scores, _ = props_of(fr)
+                return fr + ((centers.sum() + scores.sum()).astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_props", timed(s_tpr, frames, iters))
+
+        if "tp_select" in stages:
+            @jax.jit
+            def s_tps(fr):
+                sel, covered = sel_of(fr)
+                return fr + ((sel.sum() + covered.sum()).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_select", timed(s_tps, frames, iters))
+
+        if "tp_selpass" in stages:
+            @jax.jit
+            def s_tpsp(fr):
+                sel, covered = sel_of(fr)
+                gray = pipe.pre.selected(fr, sel)
+                return fr + (gray[:, ::64, ::512].sum(dtype=jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_selpass (cum)", timed(s_tpsp, frames, iters))
+
+        if "tp_cand" in stages:
+            @jax.jit
+            def s_tpc(fr):
+                gray, corners, ids = pipe._detect_two_pass(fr)
+                return fr + ((corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1))
+            report("tp_cand (cum)", timed(s_tpc, frames, iters))
+
 
 if __name__ == "__main__":
     main()

@@ -154,9 +154,10 @@ def test_selected_tile_kernel_bit_identical():
     th, tw = pre.plan.th, pre.plan.tw
     nty, ntx = h // th, w // tw
     # Random selections incl. a duplicate entry (dedup is the caller's
-    # problem; duplicates must still produce identical content).
+    # problem; duplicates must still produce identical content) and -1
+    # padding entries (skipped: no DMA, no compute, garbage-row output).
     sel = np.stack([rng.permutation(nty * ntx)[:9] for _ in range(2)]).astype(np.int32)
-    sel = np.concatenate([sel, sel[:, :1]], axis=1)
+    sel = np.concatenate([sel, sel[:, :1], np.full((2, 3), -1, np.int32)], axis=1)
     gray_sel = np.asarray(pre.selected(frames, jnp.asarray(sel)))
     for b in range(2):
         for t in np.unique(sel[b]):
