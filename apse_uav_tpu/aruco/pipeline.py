@@ -221,10 +221,16 @@ class ArucoPipeline:
         p = self.detector.params
         w, h = self.size_wh
         st = p.proposal_stride
-        pooled_src = twopass.pool_source_u8(frames, st, self._pooled_hw)
+        packed = None
         if self.cfg.use_pallas_preproc:
+            # Pack ONCE; the pooled-source front derives from the packed
+            # array (byte-sums on the native layout) and the selected-tile
+            # second pass reuses it.
+            packed = self.pre.pack(frames)
+            pooled_src = twopass.pool_packed_source_u8(packed, self.pre.dims, h, w, self._pooled_hw)
             _, pooled_gray = self.pre_pooled(pooled_src)
         else:
+            pooled_src = twopass.pool_source_u8(frames, st, self._pooled_hw)
             _, pooled_gray = self.pre_pooled(jnp.transpose(pooled_src, (0, 2, 3, 1)))
         pool = pooled_gray[:, : h // st, : w // st].astype(jnp.float32)
         if p.pallas_proposals:
@@ -240,7 +246,7 @@ class ArucoPipeline:
             per_scale_k=p.per_scale_k,
         )
         if self.cfg.use_pallas_preproc:
-            gray = self.pre.selected(frames, sel)
+            gray = self.pre.selected_packed(packed, sel)
         else:
             _, gray = self.pre(jnp.transpose(frames, (0, 2, 3, 1)))
         corners, ids = jax.vmap(self.detector._candidates_one)(

@@ -1015,18 +1015,35 @@ class PallasPreprocessor:
             frames_per_step=self.frames_per_step,
         )
 
+    @property
+    def dims(self) -> "_PlanDims":
+        return self._dims
+
+    def pack(self, frames: jax.Array) -> jax.Array:
+        """The kernel's i32-packed, channel-interleaved source form.
+
+        Exposed so the two-pass front can pack ONCE and share the array
+        between the selected-tile pass and the pooled-source derivation
+        (twopass.pool_packed_source_u8).
+        """
+        return _pack_frames(frames, self._dims)
+
     def selected(self, frames: jax.Array, sel: jax.Array) -> jax.Array:
         """Second-pass gray: recompute ONLY the tiles named by sel.
 
         frames (B, 3, H, W) u8; sel (B, T_sel) i32 tile ids (ty*ntx+tx, see
-        aruco.patch_select).  Returns gray (B, H, W) u8 whose selected tiles
-        are bit-identical to the full kernel's output; unselected tiles are
-        UNWRITTEN (garbage) — candidates outside the selection must be
-        masked by the caller.
+        aruco.patch_select; -1 entries are skipped).  Returns gray (B, H, W)
+        u8 whose selected tiles are bit-identical to the full kernel's
+        output; unselected tiles are UNWRITTEN (garbage) — candidates
+        outside the selection must be masked by the caller.
         """
+        return self.selected_packed(self.pack(frames), sel)
+
+    def selected_packed(self, packed: jax.Array, sel: jax.Array) -> jax.Array:
+        """selected() on a pre-packed source (see pack())."""
         subs_flat = tuple(x for pair in self._subs for x in pair)
         return _fused_preproc_selected(
-            frames, sel, self._table, self._yres0, self._lxres0, subs_flat,
+            packed, sel, self._table, self._yres0, self._lxres0, subs_flat,
             dims=self._dims, gamma=self.gamma, interpret=self.interpret,
         )
 
@@ -1153,21 +1170,21 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret"))
-def _fused_preproc_selected(frames, sel, table, yres0, lxres0, subs_flat,
+def _fused_preproc_selected(packed, sel, table, yres0, lxres0, subs_flat,
                             *, dims: _PlanDims, gamma: float, interpret: bool):
     """Selected-tile second pass: gray for the tiles in ``sel`` only.
 
-    sel (B, T_sel) i32 tile ids; duplicates recompute the same tile
-    (harmless — identical content).  See _make_kernel's t_sel docs.
+    packed: _pack_frames output (B, Hp/8, 3, 8, Wp/4) i32.  sel (B, T_sel)
+    i32 tile ids; duplicates recompute the same tile (harmless — identical
+    content); -1 entries are skipped.  See _make_kernel's t_sel docs.
     """
-    if frames.ndim != 4 or frames.shape[1] != 3:
-        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
-    bsz, _, h, w = frames.shape
-    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    h, w = dims.height, dims.width
+    bsz = packed.shape[0]
+    assert packed.shape[1:] == (dims.padded_h // ALIGN_Y, 3, ALIGN_Y, dims.padded_w // 4), packed.shape
     assert sel.shape[0] == bsz, (sel.shape, bsz)
     t_sel = int(sel.shape[1])
     th, tw = dims.th, dims.tw
-    padded = _pack_frames(frames, dims)
+    padded = packed
     nty, ntx = h // th, w // tw
     kernel = _make_kernel(dims, gamma, want_rgb=False, fsteps=1, t_sel=t_sel)
     nb = len(dims.bucket_dy)

@@ -208,6 +208,8 @@ def main():
         groups = tuple(_patch_groups(h, w, p))
 
         def pooled_src_of(fr):
+            if cfg.use_pallas_preproc:
+                return twopass.pool_packed_source_u8(pipe.pre.pack(fr), pipe.pre.dims, h, w, pipe._pooled_hw)
             return twopass.pool_source_u8(fr, st, pipe._pooled_hw)
 
         def props_of(fr):
@@ -254,7 +256,8 @@ def main():
             @jax.jit
             def s_tpsp(fr):
                 sel, covered = sel_of(fr)
-                gray = pipe.pre.selected(fr, sel)
+                packed = pipe.pre.pack(fr)
+                gray = pipe.pre.selected_packed(packed, sel)
                 return fr + (gray[:, ::64, ::512].sum(dtype=jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
             report("tp_selpass (cum)", timed(s_tpsp, frames, iters))
 

@@ -146,9 +146,12 @@ def main():
         acarry0 = init_carry(acfg)
 
         @jax.jit
-        def s_fused(fr):
+        def s_fused_impl(params_, fr):
             # fr is (B, H, W, 3) HWC u8 for the tracker; ArUco wants planar.
-            d, f = predictor._infer_impl(predictor.params, fr)
+            # params_ is an ARGUMENT: captured params embed ~176 MB of HLO
+            # constants, which together with the ArUco remap tables
+            # overflow the tunnel's remote-compile request (HTTP 413).
+            d, f = predictor._infer_impl(params_, fr)
 
             def step(s, xs):
                 det, ff = xs
@@ -164,6 +167,9 @@ def main():
                 recents["boxes"].sum() + aout["dist_aruco"].sum()
             ).astype(jnp.uint8) | jnp.uint8(1)
             return fr + bump
+
+        def s_fused(fr):
+            return s_fused_impl(predictor.params, fr)
         report("fused", timed(s_fused, frames))
 
     if "engine_bf16" in stages:

@@ -231,3 +231,20 @@ def test_select_tiles_covers_patches():
         assert not covered[2] and not covered[9]  # invalid candidates
         if t_sel == 512:
             assert covered.sum() == valid.sum()  # big budget covers all valid
+
+
+def test_pool_packed_matches_pool_source():
+    """twopass.pool_packed_source_u8 (byte-sums on the packed layout) must
+    equal pool_source_u8 (plain u8 pooling) exactly."""
+    from apse_uav_tpu.preproc import twopass
+    from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
+
+    h, w = 720, 1280
+    mtx, dist = _scaled_cam(w, h)
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    rng = np.random.default_rng(6)
+    frames = jnp.asarray(rng.integers(0, 255, (2, 3, h, w), dtype=np.uint8))
+    out_hw = (192, 384)
+    a = np.asarray(twopass.pool_source_u8(frames, 4, out_hw))
+    b = np.asarray(twopass.pool_packed_source_u8(pre.pack(frames), pre.dims, h, w, out_hw))
+    np.testing.assert_array_equal(a, b)
