@@ -199,15 +199,44 @@ class MaskRCNN(nn.Module):
                 )
                 mask_logits = self.mask_head(mask_pooled)
                 # GT mask for each sample: crop the matched GT's full-image
-                # mask to the sampled box, resampled to 2R x 2R.
-                gm = gt_i["masks"][sample["matched_gt"]]  # (S, Hm, Wm) {0,1}
-                target = _crop_resize_masks(gm, sample["boxes"], image_hw, r2)
+                # mask to the sampled box, resampled to 2R x 2R.  Gather +
+                # crop run CHUNKED over the samples: the naive per-sample
+                # gather materializes (S, Hm, Wm) f32 — 8.25 GB at the real
+                # fine-tune scale (batch 4, 768x1344, S=512), found OOM on
+                # the v5e by scripts/bench_train.py.
+                target = _gather_crop_resize_masks(
+                    gt_i["masks"] > 0.5, sample["matched_gt"], sample["boxes"], image_hw, r2
+                )
                 losses["loss_mask"] = mask_head_loss(mask_logits, sample, target, cfg.roi)
             return losses
 
         pool_feats = {n: feats[n] for n in rh.POOL_LEVELS}
         per = jax.vmap(per_image)(rpn_rngs, roi_rngs, logits, deltas, pool_feats, gt)
         return {k: jnp.mean(v) for k, v in per.items()}
+
+
+def _gather_crop_resize_masks(gt_masks: Array, matched: Array, boxes: Array,
+                              image_hw, out_size: int, chunk: int = 32) -> Array:
+    """Per-sample GT-mask targets with a BOUNDED gather footprint.
+
+    gt_masks (G, Hm, Wm) bool; matched (S,) gt index per sampled proposal;
+    boxes (S, 4).  lax.map over chunks keeps the gathered full-image masks
+    at (chunk, Hm, Wm) bool — 32 MB instead of the 8.25 GB f32 tensor the
+    flat (S, Hm, Wm) gather allocates at the real fine-tune scale.
+    """
+    s = matched.shape[0]
+    pad = (-s) % chunk
+    matched_p = jnp.pad(matched, (0, pad))
+    boxes_p = jnp.pad(boxes, ((0, pad), (0, 0)))
+
+    def one_chunk(args):
+        mi, bi = args
+        return _crop_resize_masks(gt_masks[mi], bi, image_hw, out_size)
+
+    outs = jax.lax.map(
+        one_chunk, (matched_p.reshape(-1, chunk), boxes_p.reshape(-1, chunk, 4))
+    )
+    return outs.reshape(-1, out_size, out_size)[:s]
 
 
 def _crop_resize_masks(masks: Array, boxes: Array, image_hw, out_size: int) -> Array:

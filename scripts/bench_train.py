@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Detector training-step benchmark on the real TPU (VERDICT r3 #3).
+
+Times ``detector_train_step`` (forward + backward + SGD) for the REAL Mask
+R-CNN R50-FPN fine-tune config at the reference's training scale (768x1344,
+finetune_uav.py:231-246), frozen-backbone and full, and reports step time +
+achieved model TFLOP/s vs the v5e roofline (~197 TFLOP/s bf16 / ~99 f32).
+
+Usage: python scripts/bench_train.py [batch=4] [stage ...]
+Stages: frozen full assoc  (default: frozen full)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+REPO = __file__.rsplit("/scripts/", 1)[0]
+sys.path.insert(0, REPO)
+
+
+def main():
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from apse_uav_tpu.dcnn.config import uav_tracker_config
+    from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+    from apse_uav_tpu.train.steps import detector_train_step
+    from apse_uav_tpu.train.optim import build_finetune_optimizer
+
+    args = sys.argv[1:]
+    batch = int(args[0]) if args and args[0].isdigit() else 4
+    stages = [a for a in args if not a.isdigit()] or ["frozen", "full"]
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    print("platform:", jax.devices()[0].platform)
+    if on_tpu:
+        h, w, iters = 768, 1344, 8
+    else:
+        h, w, iters, batch = 256, 448, 2, 2
+
+    cfg = uav_tracker_config(num_classes=4)
+    cfg = dataclasses.replace(cfg, depth=50)
+    model = MaskRCNN(cfg=cfg)
+
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((batch, h, w, 3), jnp.float32)
+    nbox = 32
+    gt = {
+        "boxes": jnp.tile(jnp.asarray([[8.0, 8.0, 72.0, 72.0]]), (batch, nbox, 1))
+        + 24.0 * jnp.arange(nbox, dtype=jnp.float32)[None, :, None],
+        "classes": jnp.zeros((batch, nbox), jnp.int32),
+        "valid": jnp.ones((batch, nbox), bool),
+        "masks": jnp.ones((batch, nbox, h, w), jnp.float32),  # full-image GT masks
+    }
+    gt["boxes"] = jnp.minimum(gt["boxes"], jnp.asarray([w - 9.0, h - 9.0, w - 1.0, h - 1.0]))
+    print(f"init params (batch {batch}, {h}x{w})...", flush=True)
+    params = jax.jit(
+        lambda r, im, g: model.init(r, im, mode="losses", gt=g, rng=r)["params"]
+    )(rng, images, gt)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    print(f"params: {n_params / 1e6:.1f} M")
+
+    def timed_steps(freeze: bool, label: str):
+        if freeze:
+            # The reference regime (finetune_uav.py:161): train RPN+ROI only.
+            tx = build_finetune_optimizer(params, ("proposal_generator", "roi_heads"), lr=0.01)
+        else:
+            tx = build_finetune_optimizer(params, ("backbone", "proposal_generator", "roi_heads"), lr=0.01)
+        opt_state = jax.jit(tx.init)(params)
+        step = jax.jit(
+            functools.partial(detector_train_step, model, tx, freeze_backbone=freeze),
+        )
+        p, s = params, opt_state
+        print(f"compiling {label}...", flush=True)
+        t0 = time.perf_counter()
+        p, s, losses = step(p, s, images=images, gt=gt, rng=rng)
+        _ = float(losses["loss_total"])
+        print(f"  first step (compile) {time.perf_counter() - t0:.1f}s", flush=True)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            # params evolve through the optimizer every step — a genuine
+            # training chain, no memoization possible.
+            p, s, losses = step(p, s, images=images, gt=gt, rng=jax.random.fold_in(rng, i))
+        lt = float(losses["loss_total"])  # host read flushes the chain
+        dt = (time.perf_counter() - t0) / iters
+        # FLOP estimate: XLA cost analysis of the jitted step.
+        try:
+            c = step.lower(p, s, images=images, gt=gt, rng=rng).compile().cost_analysis()
+            flops = c.get("flops", 0.0) if isinstance(c, dict) else c[0].get("flops", 0.0)
+        except Exception:
+            flops = 0.0
+        tfs = flops / dt / 1e12 if flops else float("nan")
+        print(f"{label}: {dt * 1e3:8.1f} ms/step  ({dt / batch * 1e3:6.1f} ms/image)  "
+              f"model flops {flops / 1e12:.2f} T -> {tfs:.1f} TFLOP/s  loss {lt:.3f}")
+
+    if "frozen" in stages:
+        timed_steps(True, "frozen-backbone")
+    if "full" in stages:
+        timed_steps(False, "full")
+
+
+if __name__ == "__main__":
+    main()

@@ -215,3 +215,53 @@ def test_two_pass_recall_yaw_sweep(cam):
             worst_err = max(worst_err, err)
     assert not missed, f"markers cv2 found but two-pass missed (yaw, alt, id): {missed}"
     assert worst_err < 1.5, f"worst corner deviation vs cv2: {worst_err:.2f} px"
+
+
+def test_adversarial_recall_blur_noise_clutter(cam):
+    """Recall parity with cv2 on DEGRADED frames (VERDICT r3 #6): the
+    synthetic parity scenes are clean renders, so the renderer and detector
+    could share blind spots.  This applies motion blur, sensor noise, and
+    high-frequency roof clutter to the rendered 40 m scene and asserts
+    every marker cv2.aruco still finds is found by our detector too."""
+    mtx, dist = cam
+    r = SceneRenderer(mtx, dist, (W, H), altitude=ALTITUDE, supersample=2)
+    det = ArucoDetector()
+    cvdet = _cv2_detector()
+    rng = np.random.default_rng(11)
+
+    specs = [
+        MarkerSpec(4, (0.5, -2.0), yaw_deg=17.0, leds=0b10110010),
+        MarkerSpec(1, (7.5, 3.0), yaw_deg=43.0),
+        MarkerSpec(2, (-9.0, 2.0), yaw_deg=61.0),
+        MarkerSpec(3, (4.0, -6.5), yaw_deg=82.0),
+    ]
+    img = r.render(specs).astype(np.float32)
+
+    # High-frequency clutter: checkerboard-ish roof texture patches away
+    # from the markers (top band of the frame).
+    yy, xx = np.mgrid[0:300, 0:W]
+    clutter = 127 + 90 * np.sign(np.sin(xx / 3.0) * np.sin(yy / 4.0))
+    img[200:500] = 0.5 * img[200:500] + 0.5 * clutter[..., None]
+
+    missed_total = []
+    for blur_px, noise_std in ((3, 4.0), (5, 8.0)):
+        g = img.copy()
+        # Horizontal motion blur (vehicle/UAV relative motion).
+        k = np.zeros((1, blur_px), np.float32)
+        k[0, :] = 1.0 / blur_px
+        g = cv2.filter2D(g, -1, k)
+        g = g + rng.normal(0.0, noise_std, g.shape).astype(np.float32)
+        frame = np.clip(g, 0, 255).astype(np.uint8)
+        gray = _preprocess_reference(frame, mtx, dist)
+
+        cvc, cvids, _ = cvdet.detectMarkers(gray)
+        cvset = (set(np.asarray(cvids).ravel().tolist()) if cvids is not None else set()) & {1, 2, 3, 4}
+        _, ids = det.detect(jnp.asarray(gray))
+        ids = np.asarray(ids)
+        ourset = set(ids[ids >= 0].tolist()) & {1, 2, 3, 4}
+        missed_total.extend((blur_px, noise_std, m) for m in (cvset - ourset))
+        # sanity: the degradation should not blind cv2 completely at the
+        # mild setting (otherwise the test is vacuous)
+        if blur_px == 3:
+            assert len(cvset) >= 3, f"scene too hard even for cv2: {cvset}"
+    assert not missed_total, f"markers cv2 found on degraded frames but we missed: {missed_total}"
