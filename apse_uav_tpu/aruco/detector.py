@@ -81,6 +81,16 @@ class DetectorParams:
     # interpreter mode (CPU tests only — slow).
     pallas_proposals: bool = False
     pallas_interpret: bool = False
+    # VMEM-resident component labeling (pallas_labeling.py): the identical
+    # fixed sweep schedule as _largest_component but with every scan a
+    # masked doubling over pltpu.roll — the XLA cummin sweeps cost ~log(n)
+    # HBM passes each (0.62 ms/frame at 4K, round 4).  None = follow
+    # pallas_proposals.
+    pallas_labeling: bool | None = None
+
+    @property
+    def use_pallas_labeling(self) -> bool:
+        return self.pallas_proposals if self.pallas_labeling is None else self.pallas_labeling
 
 
 # ---------------------------------------------------------------------------
@@ -603,16 +613,23 @@ def _largest_component(dark: Array, win: int, rounds: int = 3, mop: int = 8) -> 
 
     if mop:
         labels = jax.lax.fori_loop(0, mop, r1_step, labels)
-    # Component sizes as an MXU matmul, not a scatter: a root index
-    # r in [0, n) factors as (r // win, r % win), so the full n-bin
-    # histogram is onehotY^T @ onehotX — counts[ry, rx] =
-    # sum_c [lab_c//win==ry][lab_c%win==rx].  TPU scatter (segment_sum
-    # over n+1 bins) serialized at ~2.4 ms/frame here; the factored
-    # matmul is two (n, win) bf16 one-hots + one (win, n)@(n, win)
-    # f32-accumulated product (exact: 0/1 inputs, counts <= n < 2^24).
-    # Sentinel cells (lab == n) match no one-hot column and drop out;
-    # row-major argmax over (win, win) picks the smallest root on ties,
-    # matching segment_sum + argmax semantics.
+    return _largest_from_labels(labels, win)
+
+
+def _largest_from_labels(labels: Array, win: int) -> Array:
+    """Mask of the most populous label (the histogram tail).
+
+    Component sizes as an MXU matmul, not a scatter: a root index
+    r in [0, n) factors as (r // win, r % win), so the full n-bin
+    histogram is onehotY^T @ onehotX — counts[ry, rx] =
+    sum_c [lab_c//win==ry][lab_c%win==rx].  TPU scatter (segment_sum
+    over n+1 bins) serialized at ~2.4 ms/frame here; the factored
+    matmul is two (n, win) bf16 one-hots + one (win, n)@(n, win)
+    f32-accumulated product (exact: 0/1 inputs, counts <= n < 2^24).
+    Sentinel cells (lab == n) match no one-hot column and drop out;
+    row-major argmax over (win, win) picks the smallest root on ties,
+    matching segment_sum + argmax semantics.
+    """
     flat = labels.reshape(-1)
     bins = jnp.arange(win, dtype=jnp.int32)
     oh_y = (flat[:, None] // win == bins[None, :]).astype(jnp.bfloat16)
@@ -922,15 +939,18 @@ class ArucoDetector:
         if covered is not None:
             valid = valid & covered
 
-        def one_candidate(center, size, ok, psize):
+        def stage_binarize(center, size, psize):
             # ONE dynamic_slice per candidate; every later sampling step is
             # gather-free math inside this patch.
             patch, p_origin = _extract_patch(g, center, psize)
             center_rel = center - p_origin
             win, scale, origin = _extract_window(patch, center_rel, size, p.window)
             dark, lo, hi = _binarize(win)
-            contrast_ok = (hi - lo) >= p.min_white_black_diff
-            dark = _largest_component(dark, p.window)
+            return patch, p_origin, win, scale, origin, dark, hi - lo
+
+        def one_candidate(pre, ok):
+            patch, p_origin, win, scale, origin, dark, diff = pre
+            contrast_ok = diff >= p.min_white_black_diff
             coarse, quad_ok = _coarse_corners(dark, win, p.window)
             # Pass 1: refine in *window space*, where the coarse radial error
             # is a few pixels and the marker border is ~4.4 px wide: 11 taps
@@ -967,11 +987,29 @@ class ArucoDetector:
         # O(psize^2) and patch DMA O(psize^2), so small-scale candidates get
         # small patches.  Slots are laid out per-scale in ladder order, so
         # same-psize groups are contiguous static slices of the slot arrays.
+        # The candidate windows are all (window, window) regardless of patch
+        # size, so component labeling runs ONCE over the stacked windows —
+        # on the VMEM-resident Pallas kernel when enabled — between the
+        # per-group binarize and corner stages.
         groups = _patch_groups(*g.shape, p)
-        outs = []
+        pres = []
         for a, b, ps in groups:
-            f = functools.partial(one_candidate, psize=ps)
-            outs.append(jax.vmap(f)(centers[a:b], sizes[a:b], valid[a:b]))
+            f = functools.partial(stage_binarize, psize=ps)
+            pres.append(jax.vmap(f)(centers[a:b], sizes[a:b]))
+        darks = jnp.concatenate([pr[5] for pr in pres])
+        if p.use_pallas_labeling:
+            from apse_uav_tpu.aruco import pallas_labeling
+
+            labels = pallas_labeling.labels_batched(
+                darks, interpret=p.pallas_interpret
+            )
+            masks = jax.vmap(lambda lab: _largest_from_labels(lab, p.window))(labels)
+        else:
+            masks = jax.vmap(lambda d: _largest_component(d, p.window))(darks)
+        outs = []
+        for (a, b, ps), pr in zip(groups, pres):
+            pre_masked = (pr[0], pr[1], pr[2], pr[3], pr[4], masks[a:b], pr[6])
+            outs.append(jax.vmap(one_candidate)(pre_masked, valid[a:b]))
         corners = jnp.concatenate([o[0] for o in outs])
         ids = jnp.concatenate([o[1] for o in outs])
         sides = jnp.concatenate([o[2] for o in outs])

@@ -40,8 +40,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Tile core size: bigger cores amortize the (pad_left + right)-lane and
+# (pad_top + ring)-row halos whose compute is pure waste — at (128, 256)
+# halo lanes were 50% of tw and the 4K pooled grid took 20 steps/frame.
+# (128, 512) cuts halo lanes to 33% and steps to 10; (256, 512) was
+# better still on paper but blew the 16 MB scoped-VMEM stack (20.3 MB
+# at 4K, round 4).
 CORE_H = 128
-CORE_W = 256
+CORE_W = 512
 OUT_ROWS = 16
 OUT_LANES = 128
 POS_LANE0 = 8  # positions live in lanes [POS_LANE0, POS_LANE0 + k)

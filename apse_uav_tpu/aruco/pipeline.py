@@ -223,12 +223,15 @@ class ArucoPipeline:
         st = p.proposal_stride
         packed = None
         if self.cfg.use_pallas_preproc:
-            # Pack ONCE; the pooled-source front derives from the packed
-            # array (byte-sums on the native layout) and the selected-tile
-            # second pass reuses it.
+            # Pack ONCE; the pooled-source front derives the pooled PACKED
+            # array arithmetically (byte-sums + re-pack on the native
+            # layout, no planar intermediate) and the selected-tile second
+            # pass reuses the full-res pack.
             packed = self.pre.pack(frames)
-            pooled_src = twopass.pool_packed_source_u8(packed, self.pre.dims, h, w, self._pooled_hw)
-            _, pooled_gray = self.pre_pooled(pooled_src)
+            pooled_packed = twopass.pool_packed_to_packed(
+                packed, self.pre.dims, h, w, self.pre_pooled.dims
+            )
+            _, pooled_gray = self.pre_pooled.from_packed(pooled_packed)
         else:
             pooled_src = twopass.pool_source_u8(frames, st, self._pooled_hw)
             _, pooled_gray = self.pre_pooled(jnp.transpose(pooled_src, (0, 2, 3, 1)))

@@ -714,11 +714,11 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
 
         def dmas(slot_, bb, tti, ttj, k):
             base = (tti * ntx + ttj) * rec
-            # Channel-merged window copy: the source interleaves channels at
-            # ALIGN_Y-row-group granularity (B*f, Hp/8, 3, 8, Wp4), so ONE
-            # box copy per chunk covers all 3 channels (the per-channel form
-            # issued 3x the DMAs and the window stage was issue-bound:
-            # ~2400 copies/frame at 4K measured ~1 ms).
+            # Channel-MAJOR window copy: ONE 4-D box DMA per chunk spans
+            # all 3 channels (the channel axis is just another strided box
+            # dim, same issue count as the old row-group-interleaved
+            # layout; per-channel copies measured ~+0.15 ms/frame on the
+            # demand-bound selected pass — round 4).
             cg = CHUNK_ROWS // ALIGN_Y
             # Row-group index: no alignment guarantee beyond 1 (the sublane
             # offset is handled by ALIGN_Y packing, not by Mosaic hints).
@@ -726,8 +726,8 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             ox4 = pl.multiple_of(tab_ref[base + 1] // 4, ALIGN_X // 4)
             return [
                 pltpu.make_async_copy(
-                    src_ref.at[bb * fsteps + f, pl.ds(oy8 + k * cg, cg), :, :, pl.ds(ox4, rw4)],
-                    s_u8.at[slot_, f, pl.ds(k * cg, cg), :, :, pl.ds(0, rw4)],
+                    src_ref.at[bb * fsteps + f, :, pl.ds(oy8 + k * cg, cg), :, pl.ds(ox4, rw4)],
+                    s_u8.at[slot_, f, :, pl.ds(k * cg, cg), :, pl.ds(0, rw4)],
                     sem.at[slot_, f, k],
                 )
                 for f in range(fsteps)
@@ -868,10 +868,10 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
             # byte p (little-endian) of packed lane a.  (The roll's byte
             # residue is absorbed into the horizontal residuals on the
             # host, so no per-tile plane reorder is needed.)
-            # (rh/8, 8, rw4) channel view of the group-interleaved window;
-            # the row-group merge is a 16-segment sublane regroup in VMEM
-            # (cheap next to the HBM copies it replaces).
-            p32 = s_u8[slot, fi, :, ch, :, :].reshape(rh, rw4)
+            # (rh/8, 8, rw4) per-channel window view; the row-group merge
+            # is a sublane regroup in VMEM (cheap next to the HBM copies
+            # it replaces).
+            p32 = s_u8[slot, fi, ch, :, :, :].reshape(rh, rw4)
             p32 = pltpu.roll(p32, shift=shifty, axis=0)
             p32 = p32[0:rows_, :]
             p32 = pltpu.roll(p32, shift=qx_shift, axis=1)
@@ -883,7 +883,7 @@ def _make_kernel(dims: "_PlanDims", gamma: float, want_rgb: bool = True,
 
         if debug_mode == "dma_only":
             for f in range(fsteps):
-                w32 = s_u8[slot, f, :, 0, :, :].reshape(rh, rw4)[0:th, 0 : tw // 4]
+                w32 = s_u8[slot, f, 0, :, :, :].reshape(rh, rw4)[0:th, 0 : tw // 4]
                 g = jnp.concatenate([((w32 >> (8 * k)) & 255) for k in range(4)], axis=1)
                 gu = unperm_store(g.astype(jnp.float32))
                 if want_rgb:
@@ -1015,6 +1015,22 @@ class PallasPreprocessor:
             frames_per_step=self.frames_per_step,
         )
 
+    def from_packed(self, packed: jax.Array):
+        """__call__ on a pre-packed source (see pack()).
+
+        Lets the two-pass front feed the POOLED plan a pooled-PACKED array
+        derived arithmetically from the full-res pack
+        (twopass.pool_packed_to_packed) without materializing a planar u8
+        pooled frame and re-packing it.
+        """
+        subs_flat = tuple(x for pair in self._subs for x in pair)
+        return _fused_preproc_packed(
+            packed, self._table, self._yres0, self._lxres0, subs_flat,
+            dims=self._dims, gamma=self.gamma, interpret=self.interpret,
+            want_rgb=self.want_rgb, debug_mode=self.debug_mode,
+            frames_per_step=self.frames_per_step,
+        )
+
     @property
     def dims(self) -> "_PlanDims":
         return self._dims
@@ -1024,7 +1040,7 @@ class PallasPreprocessor:
 
         Exposed so the two-pass front can pack ONCE and share the array
         between the selected-tile pass and the pooled-source derivation
-        (twopass.pool_packed_source_u8).
+        (twopass.pool_packed_to_packed).
         """
         return _pack_frames(frames, self._dims)
 
@@ -1065,26 +1081,26 @@ def _pack_frames(frames: jax.Array, dims: "_PlanDims") -> jax.Array:
     256^(x%4) is elementwise on the natural layout, and the stride-4
     window sum is a native pooling op.  i32 wraparound is the intended
     bit pattern (packing IS mod 2^32), little-endian as before.
-    Channels are interleaved at ALIGN_Y-row-group granularity so the
-    kernel's window copy is ONE box DMA per chunk instead of three
-    per-channel copies (the window stage was DMA-issue-bound).
+    The frame padding rides the reduce_window's INPUT padding (zero init
+    value) so pack is a single fused pass — a separate i32 pad pass plus
+    the old channel-interleave transpose measured ~0.45 ms/frame on the
+    v5e (round 4): the layout stays CHANNEL-MAJOR (B, 3, Hp/8, 8, Wp/4)
+    and the kernels issue one window DMA per channel instead.
     """
     bsz, _, h, w = frames.shape
+    assert dims.pad_x % 4 == 0  # byte positions survive the left pad
     byte_w = jnp.left_shift(
         jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) % 4)
     )
     weighted = frames.astype(jnp.int32) * byte_w
     packed = jax.lax.reduce_window(
-        weighted, jnp.int32(0), jax.lax.add, (1, 1, 1, 4), (1, 1, 1, 4), "VALID"
+        weighted, jnp.int32(0), jax.lax.add, (1, 1, 1, 4), (1, 1, 1, 4),
+        padding=((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
+                 (dims.pad_x, dims.padded_w - w - dims.pad_x)),
     )
-    padded = jnp.pad(
-        packed,
-        ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
-         (dims.pad_x // 4, (dims.padded_w - w - dims.pad_x) // 4)),
-    )
-    return padded.reshape(
+    return packed.reshape(
         bsz, 3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4
-    ).transpose(0, 2, 1, 3, 4)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode",
@@ -1094,10 +1110,35 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    debug_mode: str = "full", frames_per_step: int = 1):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
-    bsz, _, h, w = frames.shape
-    assert (h, w) == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
-    th, tw = dims.th, dims.tw
+    assert frames.shape[2:] == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
     padded = _pack_frames(frames, dims)
+    return _fused_preproc_packed_impl(
+        padded, table, yres0, lxres0, subs_flat, dims=dims, gamma=gamma,
+        interpret=interpret, want_rgb=want_rgb, debug_mode=debug_mode,
+        frames_per_step=frames_per_step,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "gamma", "interpret", "want_rgb", "debug_mode",
+                                              "frames_per_step"))
+def _fused_preproc_packed(padded, table, yres0, lxres0, subs_flat,
+                          *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
+                          debug_mode: str = "full", frames_per_step: int = 1):
+    """_fused_preproc on an already-packed source (see _pack_frames)."""
+    return _fused_preproc_packed_impl(
+        padded, table, yres0, lxres0, subs_flat, dims=dims, gamma=gamma,
+        interpret=interpret, want_rgb=want_rgb, debug_mode=debug_mode,
+        frames_per_step=frames_per_step,
+    )
+
+
+def _fused_preproc_packed_impl(padded, table, yres0, lxres0, subs_flat,
+                               *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool,
+                               debug_mode: str, frames_per_step: int):
+    assert padded.shape[1:] == (3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4), padded.shape
+    bsz = padded.shape[0]
+    h, w = dims.height, dims.width
+    th, tw = dims.th, dims.tw
     nty, ntx = h // th, w // tw
     # Frames per grid step: falls back to 1 when the batch does not divide.
     fsteps = frames_per_step if frames_per_step > 0 and bsz % frames_per_step == 0 else 1
@@ -1137,10 +1178,9 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                # i32-packed window (4 source bytes per lane), channels
-                # interleaved at ALIGN_Y-row-group granularity to mirror
-                # the source layout (one box DMA covers all 3 channels).
-                (2, fsteps, dims.rh // ALIGN_Y, 3, ALIGN_Y, dims.rw // 4),
+                # i32-packed window (4 source bytes per lane), channel-major
+                # to mirror the source layout (one box DMA per channel).
+                (2, fsteps, 3, dims.rh // ALIGN_Y, ALIGN_Y, dims.rw // 4),
                 jnp.int32,
             ),
             pltpu.SemaphoreType.DMA((2, fsteps, max_chunks)),
@@ -1174,13 +1214,13 @@ def _fused_preproc_selected(packed, sel, table, yres0, lxres0, subs_flat,
                             *, dims: _PlanDims, gamma: float, interpret: bool):
     """Selected-tile second pass: gray for the tiles in ``sel`` only.
 
-    packed: _pack_frames output (B, Hp/8, 3, 8, Wp/4) i32.  sel (B, T_sel)
+    packed: _pack_frames output (B, 3, Hp/8, 8, Wp/4) i32.  sel (B, T_sel)
     i32 tile ids; duplicates recompute the same tile (harmless — identical
     content); -1 entries are skipped.  See _make_kernel's t_sel docs.
     """
     h, w = dims.height, dims.width
     bsz = packed.shape[0]
-    assert packed.shape[1:] == (dims.padded_h // ALIGN_Y, 3, ALIGN_Y, dims.padded_w // 4), packed.shape
+    assert packed.shape[1:] == (3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4), packed.shape
     assert sel.shape[0] == bsz, (sel.shape, bsz)
     t_sel = int(sel.shape[1])
     th, tw = dims.th, dims.tw
@@ -1226,7 +1266,7 @@ def _fused_preproc_selected(packed, sel, table, yres0, lxres0, subs_flat,
                          )),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, dims.rh // ALIGN_Y, 3, ALIGN_Y, dims.rw // 4), jnp.int32),
+            pltpu.VMEM((2, 1, 3, dims.rh // ALIGN_Y, ALIGN_Y, dims.rw // 4), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 1, max_chunks)),
         ],
     )

@@ -75,34 +75,49 @@ def pool_source_u8(frames: Array, st: int, out_hw: tuple[int, int]) -> Array:
     return jnp.pad(pooled, ((0, 0), (0, 0), (0, hp - h // st), (0, wp - w // st)))
 
 
-def pool_packed_source_u8(packed: Array, dims, h: int, w: int, out_hw: tuple[int, int]) -> Array:
-    """4x4-mean-pool the ALREADY-PACKED kernel source -> planar u8, padded.
+def pool_packed_to_packed(packed: Array, dims, h: int, w: int, pooled_dims) -> Array:
+    """4x4-mean-pool the PACKED kernel source straight into the POOLED
+    plan's packed form — no planar u8 intermediate, no re-pack.
 
-    ``packed`` is pallas_remap._pack_frames output: (B, Hp/8, 3, 8, Wp/4)
+    ``packed`` is pallas_remap._pack_frames output: (B, 3, Hp/8, 8, Wp/4)
     int32, 4 little-endian bytes per lane, zero-padded by (pad_y, pad_x).
     The two-pass front needs BOTH this array (selected-tile second pass)
-    and a 4x-pooled source (pooled-remap proposals front) — deriving the
-    pool from the packed array replaces a second full-frame u8->i32
-    conversion + reduce_window pass (~0.7 ms/frame measured) with
-    elementwise byte-sums on data already in a TPU-native layout:
+    and a 4x-pooled source (pooled-remap proposals front).  Deriving the
+    pooled PACKED array from it:
 
       per lane, sum the 4 bytes (horizontal 4-sum for free);
       reduce_window(4) over the sublane axis (vertical 4-sum, native);
-      round to u8 on the small pooled grid.
+      round to the pooled byte, re-weight by 256^(lane%4) and window-sum
+      groups of 4 lanes (the pooled re-pack, still on i32);
+      pad into the pooled plan's geometry.
 
-    Only st=4 (the proposal stride) is supported — the byte packing IS the
-    horizontal pooling window.
+    Bit-identical to pool_source_u8 -> PallasPreprocessor.pack on the
+    pooled plan (test_pallas_remap coverage).  Only st=4 is supported —
+    the byte packing IS the horizontal pooling window.
     """
     b = packed.shape[0]
     pad_y, pad_x = dims.pad_y, dims.pad_x
-    assert pad_y % 8 == 0 and pad_x % 4 == 0
-    core = packed[:, pad_y // 8 : (pad_y + h) // 8, :, :, pad_x // 4 : (pad_x + w) // 4]
+    assert pad_y % 8 == 0 and pad_x % 16 == 0
+    assert pooled_dims.pad_x % 16 == 0  # byte positions survive the re-pad
+    core = packed[:, :, pad_y // 8 : (pad_y + h) // 8, :, pad_x // 4 : (pad_x + w) // 4]
     # Horizontal 4-sum: the lane's 4 bytes.  (Bytes are unsigned; >> on the
     # weighted i32 is arithmetic, so mask AFTER each shift.)
     s4 = ((core >> 0) & 255) + ((core >> 8) & 255) + ((core >> 16) & 255) + ((core >> 24) & 255)
     # Vertical 4-sum over the sublane (8-row-group) axis: native pooling.
     v = jax.lax.reduce_window(s4, jnp.int32(0), jax.lax.add, (1, 1, 1, 4, 1), (1, 1, 1, 4, 1), "VALID")
-    pooled = ((v + 8) // 16).astype(jnp.uint8)  # (B, H/8, 3, 2, W/4)
-    pooled = jnp.transpose(pooled, (0, 2, 1, 3, 4)).reshape(b, 3, h // 8 * 2, w // 4)
-    hp, wp = out_hw
-    return jnp.pad(pooled, ((0, 0), (0, 0), (0, hp - h // 4), (0, wp - w // 4)))
+    byte = (v + 8) >> 4  # pooled u8 value, kept i32: (B, 3, H/8, 2, W/4)
+    lane_w = jnp.left_shift(
+        jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w // 4), 4) % 4)
+    )
+    pp = jax.lax.reduce_window(
+        byte * lane_w, jnp.int32(0), jax.lax.add, (1, 1, 1, 1, 4), (1, 1, 1, 1, 4), "VALID"
+    )  # (B, 3, H/8, 2, W/16)
+    pp = pp.reshape(b, 3, h // 4, w // 16)
+    hpool, wpool = h // 4, w // 4
+    hp2, wp2 = pooled_dims.padded_h, pooled_dims.padded_w
+    pp = jnp.pad(
+        pp,
+        ((0, 0), (0, 0), (pooled_dims.pad_y, hp2 - hpool - pooled_dims.pad_y),
+         (pooled_dims.pad_x // 4, (wp2 - pooled_dims.pad_x - wpool) // 4)),
+    )
+    return pp.reshape(b, 3, hp2 // 8, 8, wp2 // 4)

@@ -4,11 +4,20 @@
 Honest-measurement rules (PERF_NOTES.md): every iteration evolves the input
 buffer through the computation and ends with a host read.
 
-Usage: python scripts/bench_breakdown.py [stage ...]
+Usage: python scripts/bench_breakdown.py [--json PATH] [--noise] [stage ...]
 Stages: preproc proposals detect front scan full proposals_nodecim detect_nodecim cc refine
+        tp_pool tp_pooledfront tp_props tp_select tp_selpass tp_cand pose
 (default: preproc proposals detect front scan full)
+
+Frames are RENDERED 4-marker scenes by default (same distribution as
+bench.py: the two-pass second pass costs what candidates demand, so noise
+input undercosts it); --noise restores the round-3 random input for
+comparison against old tables.  --json dumps {stage: ms_per_frame} plus the
+run config — commit it as BENCH_breakdown_rN.json so regressions are caught
+by diffing artifacts (VERDICT r3 #8).
 """
 
+import json
 import sys
 import time
 
@@ -40,7 +49,17 @@ def main():
     from apse_uav_tpu.aruco import detector as det
     from apse_uav_tpu.core.camera import load_camera_params
 
-    stages = sys.argv[1:] or ["preproc", "proposals", "detect", "front", "scan", "full"]
+    argv = sys.argv[1:]
+    json_path = None
+    use_noise = False
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    if "--noise" in argv:
+        use_noise = True
+        argv.remove("--noise")
+    stages = argv or ["preproc", "proposals", "detect", "front", "scan", "full"]
     import dataclasses as _dc
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
@@ -55,13 +74,31 @@ def main():
     pipe = ArucoPipeline(mtx, dist, (w, h), cfg)
 
     rng = np.random.default_rng(0)
-    frames = jax.device_put(rng.integers(0, 255, (batch, 3, h, w), dtype=np.uint8))
+    if use_noise:
+        frames = jax.device_put(rng.integers(0, 255, (batch, 3, h, w), dtype=np.uint8))
+    else:
+        from apse_uav_tpu.utils.synthetic import MarkerSpec, SceneRenderer
+
+        r = SceneRenderer(mtx, dist, (w, h), altitude=40.0, supersample=1)
+        base_np = np.empty((batch, 3, h, w), np.uint8)
+        for i in range(batch):
+            img = r.render([
+                MarkerSpec(4, (0.5, -2.0), yaw_deg=14.0 + 7 * i, leds=0b1010),
+                MarkerSpec(1, (7.5, 3.0), yaw_deg=40.0 + 5 * i),
+                MarkerSpec(2, (-9.0, 2.0), yaw_deg=70.0 - 9 * i),
+                MarkerSpec(3, (4.0, -6.5), yaw_deg=5.0 + 11 * i),
+            ])
+            base_np[i] = np.transpose(img, (2, 0, 1))
+        frames = jax.device_put(base_np)
     gray0 = jnp.asarray(rng.integers(0, 255, (batch, h, w), dtype=np.uint8))
     carry0 = init_carry(cfg)
     p = pipe.detector.params
 
+    results = {}
+
     def report(name, dt_batch):
         ms = dt_batch / batch * 1e3
+        results[name] = round(ms, 3)
         print(f"{name:12s} {ms:7.2f} ms/frame   ({batch / dt_batch:7.1f} fps)")
 
     if "preproc" in stages:
@@ -209,11 +246,18 @@ def main():
 
         def pooled_src_of(fr):
             if cfg.use_pallas_preproc:
-                return twopass.pool_packed_source_u8(pipe.pre.pack(fr), pipe.pre.dims, h, w, pipe._pooled_hw)
+                return twopass.pool_packed_to_packed(pipe.pre.pack(fr), pipe.pre.dims, h, w, pipe.pre_pooled.dims)
             return twopass.pool_source_u8(fr, st, pipe._pooled_hw)
 
+        def pooled_gray_of(fr):
+            if cfg.use_pallas_preproc:
+                _, pg = pipe.pre_pooled.from_packed(pooled_src_of(fr))
+            else:
+                _, pg = pipe.pre_pooled(jnp.transpose(pooled_src_of(fr), (0, 2, 3, 1)))
+            return pg
+
         def props_of(fr):
-            _, pg = pipe.pre_pooled(pooled_src_of(fr))
+            pg = pooled_gray_of(fr)
             pool = pg[:, : h // st, : w // st].astype(jnp.float32)
             from apse_uav_tpu.aruco import pallas_proposals as pprop
             return pprop.proposals_batched_from_pool(pool, h, w, p)
@@ -234,7 +278,7 @@ def main():
         if "tp_pooledfront" in stages:
             @jax.jit
             def s_tpf(fr):
-                _, pg = pipe.pre_pooled(pooled_src_of(fr))
+                pg = pooled_gray_of(fr)
                 return fr + (pg.sum(dtype=jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
             report("tp_pooledfront", timed(s_tpf, frames, iters))
 
@@ -267,6 +311,20 @@ def main():
                 gray, corners, ids = pipe._detect_two_pass(fr)
                 return fr + ((corners.sum().astype(jnp.int32) + ids.sum()).astype(jnp.uint8) | jnp.uint8(1))
             report("tp_cand (cum)", timed(s_tpc, frames, iters))
+
+    if json_path:
+        payload = {
+            "platform": jax.devices()[0].platform,
+            "size": [w, h],
+            "batch": batch,
+            "iters": iters,
+            "input": "noise" if use_noise else "rendered_scene",
+            "two_pass": cfg.two_pass,
+            "stages_ms_per_frame": results,
+        }
+        with open(json_path, "w") as f:
+            f.write(json.dumps(payload, indent=1) + "\n")
+        print("wrote", json_path)
 
 
 if __name__ == "__main__":

@@ -3,6 +3,7 @@
 import os
 import cv2
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -181,6 +182,43 @@ def test_largest_component_matches_scipy_label():
             got = np.asarray(_largest_component(jnp.asarray(m), win))
             assert got.any() and got[~m].sum() == 0
             assert len(set(labels[got].tolist())) == 1
+
+
+def test_pallas_labeling_matches_xla_sweeps():
+    """pallas_labeling.labels_batched (interpret) must reproduce the XLA
+    cummin-sweep labels BIT-FOR-BIT on marker shapes and arbitrary noise
+    (same fixed schedule, same keys — only the scan machinery differs)."""
+    import scipy.ndimage as ndi
+
+    from apse_uav_tpu.aruco import pallas_labeling
+    from apse_uav_tpu.aruco.detector import _largest_component, _largest_from_labels
+
+    win = 64
+    rng = np.random.default_rng(3)
+    masks = []
+    ring = np.zeros((win, win), bool)
+    ring[2:62, 2:62] = True
+    ring[5:59, 5:59] = False
+    masks.append(ring)
+    c = ring.copy()
+    c[2:5, 28:36] = False
+    masks.append(c)
+    for seed in range(3):
+        noise = np.random.default_rng(seed).random((win, win))
+        masks.append(ndi.uniform_filter(noise, 7) < 0.47)
+        masks.append(noise < 0.5)
+    masks.append(np.zeros((win, win), bool))
+    darks = jnp.asarray(np.stack(masks))
+    labels = pallas_labeling.labels_batched(darks, interpret=True)
+    got = jax.vmap(lambda lab: _largest_from_labels(lab, win))(labels)
+    want = jax.vmap(lambda d: _largest_component(d, win))(darks)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # And under an extra vmap (the per-frame batching the detector uses).
+    db = jnp.stack([darks[:4], darks[3:7]])
+    lb = jax.vmap(lambda d: pallas_labeling.labels_batched(d, interpret=True))(db)
+    wb = jax.vmap(jax.vmap(lambda d: _largest_component(d, win)))(db)
+    gb = jax.vmap(jax.vmap(lambda lab: _largest_from_labels(lab, win)))(lb)
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(wb))
 
 
 def test_pallas_proposals_matches_xla(scene):

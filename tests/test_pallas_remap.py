@@ -233,18 +233,28 @@ def test_select_tiles_covers_patches():
             assert covered.sum() == valid.sum()  # big budget covers all valid
 
 
-def test_pool_packed_matches_pool_source():
-    """twopass.pool_packed_source_u8 (byte-sums on the packed layout) must
-    equal pool_source_u8 (plain u8 pooling) exactly."""
+def test_pool_packed_to_packed_matches_planar():
+    """twopass.pool_packed_to_packed (byte-sums + re-pack on the packed
+    layout) must equal the planar route — pool_source_u8 then the pooled
+    plan's pack — bit-exactly."""
     from apse_uav_tpu.preproc import twopass
     from apse_uav_tpu.preproc.pallas_remap import PallasPreprocessor
 
     h, w = 720, 1280
+    st = 4
     mtx, dist = _scaled_cam(w, h)
     pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    wp, hp = twopass.pooled_frame_size(w, h, st)
+    mtx_p = twopass.pooled_camera(np.asarray(mtx, np.float64), st)
+    pre_pooled = PallasPreprocessor(
+        mtx_p, np.asarray(dist, np.float64).reshape(-1), (wp, hp),
+        interpret=True, want_rgb=False, valid_wh=(w // st, h // st),
+    )
     rng = np.random.default_rng(6)
     frames = jnp.asarray(rng.integers(0, 255, (2, 3, h, w), dtype=np.uint8))
-    out_hw = (192, 384)
-    a = np.asarray(twopass.pool_source_u8(frames, 4, out_hw))
-    b = np.asarray(twopass.pool_packed_source_u8(pre.pack(frames), pre.dims, h, w, out_hw))
+    planar = twopass.pool_source_u8(frames, st, (hp, wp))
+    a = np.asarray(pre_pooled.pack(planar))
+    b = np.asarray(
+        twopass.pool_packed_to_packed(pre.pack(frames), pre.dims, h, w, pre_pooled.dims)
+    )
     np.testing.assert_array_equal(a, b)
