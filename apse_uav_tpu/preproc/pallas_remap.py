@@ -1041,6 +1041,10 @@ class PallasPreprocessor:
         Exposed so the two-pass front can pack ONCE and share the array
         between the selected-tile pass and the pooled-source derivation
         (twopass.pool_packed_to_packed).
+
+        ``frames`` is either planar (B, 3, H, W) uint8 or the zero-cost
+        host view form (B, 3, H, W//4) int32 (``frames.view(np.int32)`` —
+        identical bits, so the device-side pack reduces to a pad).
         """
         return _pack_frames(frames, self._dims)
 
@@ -1087,8 +1091,25 @@ def _pack_frames(frames: jax.Array, dims: "_PlanDims") -> jax.Array:
     v5e (round 4): the layout stays CHANNEL-MAJOR (B, 3, Hp/8, 8, Wp/4)
     and the kernels issue one window DMA per channel instead.
     """
-    bsz, _, h, w = frames.shape
     assert dims.pad_x % 4 == 0  # byte positions survive the left pad
+    if frames.dtype == jnp.int32:
+        # Host-side VIEW form: (B, 3, H, W//4) i32, the little-endian byte
+        # reinterpret of the planar u8 frame (numpy ``frames.view(np.int32)``
+        # — zero-cost on host).  The arithmetic pack below produces the
+        # exact same bit pattern, so this branch only pads (one fused
+        # ~50 MB/frame pass) instead of weight+pool over the full frame
+        # (~0.9 ms/frame measured round 4).
+        bsz, _, h, w4 = frames.shape
+        assert (h, w4) == (dims.height, dims.width // 4), (frames.shape, dims)
+        packed = jnp.pad(
+            frames,
+            ((0, 0), (0, 0), (dims.pad_y, dims.padded_h - h - dims.pad_y),
+             (dims.pad_x // 4, (dims.padded_w - dims.pad_x) // 4 - w4)),
+        )
+        return packed.reshape(
+            bsz, 3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4
+        )
+    bsz, _, h, w = frames.shape
     byte_w = jnp.left_shift(
         jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, w), 3) % 4)
     )
@@ -1110,7 +1131,8 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    debug_mode: str = "full", frames_per_step: int = 1):
     if frames.ndim != 4 or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
-    assert frames.shape[2:] == (dims.height, dims.width), (frames.shape, dims.height, dims.width)
+    want_w = dims.width // 4 if frames.dtype == jnp.int32 else dims.width
+    assert frames.shape[2:] == (dims.height, want_w), (frames.shape, dims.height, want_w)
     padded = _pack_frames(frames, dims)
     return _fused_preproc_packed_impl(
         padded, table, yres0, lxres0, subs_flat, dims=dims, gamma=gamma,

@@ -258,3 +258,17 @@ def test_pool_packed_to_packed_matches_planar():
         twopass.pool_packed_to_packed(pre.pack(frames), pre.dims, h, w, pre_pooled.dims)
     )
     np.testing.assert_array_equal(a, b)
+
+
+def test_pack_view_form_bit_identical():
+    """pack() on the zero-cost host byte view ((B,3,H,W//4) i32,
+    frames.view(np.int32)) must equal the arithmetic u8 pack bit-for-bit —
+    the view branch only pads (pallas_remap._pack_frames)."""
+    h, w = 720, 1280
+    mtx, dist = _scaled_cam(w, h)
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (2, 3, h, w), dtype=np.uint8)
+    a = np.asarray(pre.pack(jnp.asarray(frames)))
+    b = np.asarray(pre.pack(jnp.asarray(frames.view(np.int32))))
+    np.testing.assert_array_equal(a, b)
