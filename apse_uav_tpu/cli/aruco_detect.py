@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=8, help="frames per device batch")
     p.add_argument("--width", type=int, default=3840)
     p.add_argument("--height", type=int, default=2160)
+    p.add_argument("--display", action="store_true",
+                   help="live annotated view (reference aruco_detect.py:787-800 imshow loop; 'q' quits)")
     p.add_argument("--xla_preproc", action="store_true", help="use the XLA (non-Pallas) preprocessing path")
     p.add_argument("--force_cpu", action="store_true",
                    help="run on the host CPU backend (the JAX_PLATFORMS env "
@@ -92,12 +94,11 @@ def _frame_reader(args):
         video.release()
 
 
-def _save_annotated(out_dir: str, k: int, frame: np.ndarray, row: dict) -> None:
+def _annotate(frame: np.ndarray, row: dict) -> np.ndarray:
     """Draw detections + measurements onto the frame (reference
     printDataOnImage :310-333 / drawLinesOnImage :494-514 in spirit)."""
     import cv2
 
-    os.makedirs(out_dir, exist_ok=True)
     img = frame.copy()
     font = cv2.FONT_HERSHEY_SIMPLEX
     corners = row["corners"]  # (4 slots, 4, 2) xy
@@ -125,7 +126,14 @@ def _save_annotated(out_dir: str, k: int, frame: np.ndarray, row: dict) -> None:
             f"alt {row['altitude']:.1f} m  L {row['marker_length']:.3f}  LEDs {int(row['leds'])}",
             (20, 40), font, 1.0, (255, 255, 255), 2,
         )
-    cv2.imwrite(os.path.join(out_dir, f"image_{k:04d}.png"), img)
+    return img
+
+
+def _save_annotated(out_dir: str, k: int, frame: np.ndarray, row: dict) -> None:
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    cv2.imwrite(os.path.join(out_dir, f"image_{k:04d}.png"), _annotate(frame, row))
 
 
 def main(argv=None) -> int:

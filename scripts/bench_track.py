@@ -6,7 +6,8 @@ embeddings (ROI features + association head), the association scan
 (Hungarian + track-state update), and the full engine.
 
 Usage: python scripts/bench_track.py [stage ...]
-Stages: detect embed scan engine fused engine_bf16  (default: all)
+Stages: detect embed scan engine fused engine_bf16 prep backbone rpn nomask
+(default: detect embed scan engine fused engine_bf16)
 """
 
 import sys
@@ -83,6 +84,69 @@ def main():
             bump = (d["scores"].sum()).astype(jnp.uint8) | jnp.uint8(1)
             return fr + bump
         report("detect", timed(s_det, frames))
+
+    # --- detect sub-stage attribution (cumulative prefixes of inference) ---
+    def _prep(fr):
+        x = fr.astype(jnp.float32)
+        nh, nw = predictor.net_hw
+        x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
+        ph, pw = predictor.pad_hw
+        return jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
+
+    if "prep" in stages:
+        @jax.jit
+        def s_prep(fr):
+            x = _prep(fr)
+            return fr + (x[:, ::256, ::256].sum().astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("prep", timed(s_prep, frames))
+
+    if "backbone" in stages:
+        @jax.jit
+        def s_bb(fr):
+            x = _prep(fr)
+            feats = model.apply(
+                {"params": params}, x,
+                method=lambda m, im: m.backbone(m._normalize(im)),
+            )
+            s = sum(v[:, ::64, ::64].sum() for v in feats.values())
+            return fr + (s.astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("backbone", timed(s_bb, frames))
+
+    if "rpn" in stages:
+        from apse_uav_tpu.dcnn.models.mask_rcnn import RPN_LEVELS
+        from apse_uav_tpu.dcnn.models.rpn import select_proposals
+
+        @jax.jit
+        def s_rpn(fr):
+            x = _prep(fr)
+
+            def run(m, im):
+                feats = m.backbone(m._normalize(im))
+                rpn_feats = {n: feats[n] for n in RPN_LEVELS}
+                logits, deltas = m.rpn_head(rpn_feats)
+                level_shapes = {n: tuple(rpn_feats[n].shape[1:3]) for n in RPN_LEVELS}
+                image_hw = tuple(im.shape[1:3])
+
+                def per_image(logits_i, deltas_i):
+                    return select_proposals(
+                        logits_i, deltas_i, level_shapes, image_hw,
+                        m.cfg.anchors, m.cfg.rpn, training=False,
+                    )
+                return jax.vmap(per_image)(logits, deltas)
+
+            boxes, scores, valid = model.apply({"params": params}, x, method=run)
+            return fr + ((boxes.sum() + scores.sum()).astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+        report("rpn (cum)", timed(s_rpn, frames))
+
+    if "nomask" in stages:
+        cfg_nm = dataclasses.replace(cfg, mask_on=False)
+        pred_nm = TrackPredictor(cfg_nm, {k: v for k, v in params.items() if k != "mask_head"}, orig_hw)
+
+        @jax.jit
+        def s_nm(fr):
+            d, f = pred_nm._infer_impl(pred_nm.params, fr)
+            return fr + ((d["scores"].sum()).astype(jnp.uint8) | jnp.uint8(1))
+        report("nomask(cum)", timed(s_nm, frames))
 
     # Cap detections the way tracker_step does.
     det_c = dets0
