@@ -264,7 +264,10 @@ class ArucoPipeline:
         frames: planar (T, 3, H, W) u8, or — on the Pallas path — the
         zero-cost host byte view (T, 3, H, W//4) i32
         (``frames.view(np.int32)``), which skips the device-side
-        arithmetic pack entirely (~0.9 ms/frame at 4K).
+        arithmetic pack (~0.9 ms/frame at 4K), or the PRE-PADDED 5-D form
+        from ``pre.host_pack`` ((T, 3, Hp/8, 8, Wp/4) i32), for which the
+        device-side pack is the identity (a further ~0.46 ms/frame: the
+        pad pass and the 4-D->5-D reshape relayout both disappear).
         """
         if frames.dtype == jnp.int32 and not self.cfg.use_pallas_preproc:
             raise ValueError("i32 view input requires use_pallas_preproc")

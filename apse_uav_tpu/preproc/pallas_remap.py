@@ -1042,11 +1042,33 @@ class PallasPreprocessor:
         between the selected-tile pass and the pooled-source derivation
         (twopass.pool_packed_to_packed).
 
-        ``frames`` is either planar (B, 3, H, W) uint8 or the zero-cost
-        host view form (B, 3, H, W//4) int32 (``frames.view(np.int32)`` —
-        identical bits, so the device-side pack reduces to a pad).
+        ``frames`` is planar (B, 3, H, W) uint8, the zero-cost host view
+        form (B, 3, H, W//4) int32 (``frames.view(np.int32)`` — identical
+        bits, so the device-side pack reduces to a pad), or the PRE-PADDED
+        5-D form from host_pack() (device-side pack is the identity).
         """
         return _pack_frames(frames, self._dims)
+
+    def host_pack(self, frames: "np.ndarray") -> "np.ndarray":
+        """Pack planar u8 frames into the kernel source form ON THE HOST.
+
+        The padded plan geometry in natural row order is bit-identical to
+        the packed 5-D i32 array, so ingest that writes decoded frames into
+        a zeroed padded buffer (the one memcpy any batch assembly performs)
+        produces the kernel's DMA source outright — pack() on the result is
+        the identity, saving the 0.46 ms/frame device pad+reshape at 4K.
+
+        frames: (B, 3, H, W) uint8 (numpy).  Returns (B, 3, Hp/8, 8, Wp/4)
+        int32 (numpy), little-endian bytes per lane like _pack_frames.
+        """
+        import numpy as np
+
+        d = self._dims
+        b = frames.shape[0]
+        assert frames.dtype == np.uint8 and frames.shape[1:] == (3, d.height, d.width)
+        buf = np.zeros((b, 3, d.padded_h, d.padded_w), np.uint8)
+        buf[:, :, d.pad_y : d.pad_y + d.height, d.pad_x : d.pad_x + d.width] = frames
+        return buf.view(np.int32).reshape(b, 3, d.padded_h // ALIGN_Y, ALIGN_Y, d.padded_w // 4)
 
     def selected(self, frames: jax.Array, sel: jax.Array) -> jax.Array:
         """Second-pass gray: recompute ONLY the tiles named by sel.
@@ -1092,6 +1114,20 @@ def _pack_frames(frames: jax.Array, dims: "_PlanDims") -> jax.Array:
     and the kernels issue one window DMA per channel instead.
     """
     assert dims.pad_x % 4 == 0  # byte positions survive the left pad
+    if frames.ndim == 5:
+        # Host-side PRE-PADDED form: the padded plan geometry in natural
+        # row order is bit-identical to the packed 5-D array ((B, 3, Hp, Wp)
+        # u8 row-major == (B, 3, Hp/8, 8, Wp/4) i32), so a host that writes
+        # decoded frames into a zeroed padded buffer (see
+        # PallasPreprocessor.host_pack — the same memcpy batch assembly
+        # does anyway) hands the kernel its DMA source with ZERO device-side
+        # work.  The jnp.pad of the view form below measured 0.46 ms/frame
+        # at 4K (the pad pass + a non-free 4-D->5-D reshape relayout).
+        assert frames.dtype == jnp.int32
+        assert frames.shape[1:] == (
+            3, dims.padded_h // ALIGN_Y, ALIGN_Y, dims.padded_w // 4
+        ), (frames.shape, dims)
+        return frames
     if frames.dtype == jnp.int32:
         # Host-side VIEW form: (B, 3, H, W//4) i32, the little-endian byte
         # reinterpret of the planar u8 frame (numpy ``frames.view(np.int32)``
@@ -1129,10 +1165,11 @@ def _pack_frames(frames: jax.Array, dims: "_PlanDims") -> jax.Array:
 def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
                    debug_mode: str = "full", frames_per_step: int = 1):
-    if frames.ndim != 4 or frames.shape[1] != 3:
+    if frames.ndim not in (4, 5) or frames.shape[1] != 3:
         raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
-    want_w = dims.width // 4 if frames.dtype == jnp.int32 else dims.width
-    assert frames.shape[2:] == (dims.height, want_w), (frames.shape, dims.height, want_w)
+    if frames.ndim == 4:
+        want_w = dims.width // 4 if frames.dtype == jnp.int32 else dims.width
+        assert frames.shape[2:] == (dims.height, want_w), (frames.shape, dims.height, want_w)
     padded = _pack_frames(frames, dims)
     return _fused_preproc_packed_impl(
         padded, table, yres0, lxres0, subs_flat, dims=dims, gamma=gamma,

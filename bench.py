@@ -71,14 +71,32 @@ def main() -> None:
         # Scale to <= 200 so the evolving +0..47 brightness shift (below)
         # cannot wrap uint8; contrast is preserved (markers stay trivial).
         base_np[i] = np.transpose((img.astype(np.uint16) * 200 // 255).astype(np.uint8), (2, 0, 1))
-    # Production ingest hands the pipeline the ZERO-COST host byte view of
-    # the planar frame ((B, 3, H, W//4) i32 — identical bits, numpy .view):
-    # the device-side pack then reduces to a pad (pallas_remap._pack_frames).
-    base = jax.device_put(base_np.view(np.int32) if cfg.use_pallas_preproc else base_np)
+    # Production ingest hands the pipeline the PRE-PADDED host form
+    # (pre.host_pack: decoded frames memcpy'd into a zeroed padded buffer —
+    # the same copy batch assembly does anyway — viewed as the kernel's 5-D
+    # i32 source): the device-side pack is then the IDENTITY.  The earlier
+    # byte-view form still paid a 0.46 ms/frame device pad+reshape.
+    base = jax.device_put(pipe.pre.host_pack(base_np) if cfg.use_pallas_preproc else base_np)
     carry0 = init_carry(cfg)
+    if cfg.use_pallas_preproc:
+        # Brightness-shift mask confined to the frame interior: the evolving
+        # bump must not perturb the padded border zeros (they represent
+        # out-of-source black in the kernel's window reads).
+        d = pipe.pre.dims
+        rows = jnp.arange(d.padded_h)
+        cols = jnp.arange(d.padded_w // 4)
+        interior = (
+            ((rows >= d.pad_y) & (rows < d.pad_y + h))[:, None]
+            & ((cols >= d.pad_x // 4) & (cols < (d.pad_x + w) // 4))[None, :]
+        )
+        bump_mask = (interior.astype(jnp.int32) * jnp.int32(0x01010101)).reshape(
+            1, 1, d.padded_h // 8, 8, d.padded_w // 4
+        )
+    else:
+        bump_mask = jnp.uint8(1)
 
     @jax.jit
-    def step(base_, fr, k):
+    def step(base_, mask_, fr, k):
         # base_ is an ARGUMENT, not a closure capture: captured device
         # arrays embed as HLO constants and a 200 MB constant overflows the
         # tunnel's remote-compile request (HTTP 413).
@@ -94,16 +112,16 @@ def main() -> None:
         k = k + bump
         shift = k % 48
         if base_.dtype == jnp.int32:
-            return base_ + shift * jnp.int32(0x01010101), k
-        return base_ + shift.astype(jnp.uint8), k
+            return base_ + shift * mask_, k
+        return base_ + (shift.astype(jnp.uint8) * mask_), k
 
-    frames, k = step(base, base, jnp.int32(1))
-    _ = float(frames[0, 0, 0, 0])  # force warmup completion
+    frames, k = step(base, bump_mask, base, jnp.int32(1))
+    _ = float(frames[(0,) * frames.ndim])  # force warmup completion
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        frames, k = step(base, frames, k)
-    _ = float(frames[0, 0, 0, 0])  # host read: forces the whole chain
+        frames, k = step(base, bump_mask, frames, k)
+    _ = float(frames[(0,) * frames.ndim])  # host read: forces the whole chain
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt

@@ -90,14 +90,30 @@ def main():
             ])
             base_np[i] = np.transpose(img, (2, 0, 1))
         frames = jax.device_put(base_np)
+    bump_mask = None
     if cfg.use_pallas_preproc:
-        # Production ingest form: the zero-cost host byte view (i32) —
-        # pack reduces to a pad (pallas_remap._pack_frames view branch).
-        frames = jax.device_put(np.asarray(frames).view(np.int32))
+        # Production ingest form: host PRE-PADDED 5-D i32 (pack == identity,
+        # pallas_remap.host_pack).  The evolving bump stays confined to the
+        # frame interior so the padded border zeros survive.
+        frames = jax.device_put(pipe.pre.host_pack(np.asarray(frames)))
+        d = pipe.pre.dims
+        rr = np.arange(d.padded_h)
+        cc = np.arange(d.padded_w // 4)
+        interior = (
+            ((rr >= d.pad_y) & (rr < d.pad_y + h))[:, None]
+            & ((cc >= d.pad_x // 4) & (cc < (d.pad_x + w) // 4))[None, :]
+        )
+        bump_mask = jnp.asarray(
+            (interior.astype(np.int32) * 0x01010101).reshape(
+                1, 1, d.padded_h // 8, 8, d.padded_w // 4
+            )
+        )
 
     def bump(fr, s):
         """Evolve fr by a small per-byte shift derived from the output s."""
         k = jnp.maximum(s.astype(jnp.int32) % 47, 1)
+        if fr.ndim == 5:
+            return fr + k * bump_mask
         if fr.dtype == jnp.int32:
             return fr + k * jnp.int32(0x01010101)
         return fr + k.astype(jnp.uint8)

@@ -272,3 +272,22 @@ def test_pack_view_form_bit_identical():
     a = np.asarray(pre.pack(jnp.asarray(frames)))
     b = np.asarray(pre.pack(jnp.asarray(frames.view(np.int32))))
     np.testing.assert_array_equal(a, b)
+
+
+def test_host_pack_bit_identical_and_identity():
+    """host_pack (frames memcpy'd into the zeroed padded host buffer,
+    viewed as the 5-D i32 source) must equal the arithmetic u8 pack
+    bit-for-bit, and pack() on it must be the identity (no device work)."""
+    h, w = 720, 1280
+    mtx, dist = _scaled_cam(w, h)
+    pre = PallasPreprocessor(mtx, dist, (w, h), interpret=True, want_rgb=False)
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 255, (2, 3, h, w), dtype=np.uint8)
+    hp = pre.host_pack(frames)
+    np.testing.assert_array_equal(np.asarray(pre.pack(jnp.asarray(frames))), hp)
+    dev = jnp.asarray(hp)
+    assert pre.pack(dev) is dev
+    # And the full front consumes it: gray equals the planar-input gray.
+    _, g_u8 = pre(jnp.asarray(frames))
+    _, g_5d = pre(dev)
+    np.testing.assert_array_equal(np.asarray(g_u8), np.asarray(g_5d))
