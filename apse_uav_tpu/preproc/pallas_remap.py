@@ -1166,7 +1166,10 @@ def _fused_preproc(frames, table, yres0, lxres0, subs_flat,
                    *, dims: _PlanDims, gamma: float, interpret: bool, want_rgb: bool = True,
                    debug_mode: str = "full", frames_per_step: int = 1):
     if frames.ndim not in (4, 5) or frames.shape[1] != 3:
-        raise ValueError(f"expected planar (B, 3, H, W) uint8 frames, got {frames.shape}")
+        raise ValueError(
+            "expected planar (B, 3, H, W) uint8 frames, an (B, 3, H, W//4) int32 "
+            f"byte view, or the pre-padded 5-D int32 form from host_pack; got {frames.shape}"
+        )
     if frames.ndim == 4:
         want_w = dims.width // 4 if frames.dtype == jnp.int32 else dims.width
         assert frames.shape[2:] == (dims.height, want_w), (frames.shape, dims.height, want_w)

@@ -82,6 +82,8 @@ def main() -> None:
         # Brightness-shift mask confined to the frame interior: the evolving
         # bump must not perturb the padded border zeros (they represent
         # out-of-source black in the kernel's window reads).
+        from apse_uav_tpu.preproc.pallas_remap import ALIGN_Y
+
         d = pipe.pre.dims
         rows = jnp.arange(d.padded_h)
         cols = jnp.arange(d.padded_w // 4)
@@ -90,7 +92,7 @@ def main() -> None:
             & ((cols >= d.pad_x // 4) & (cols < (d.pad_x + w) // 4))[None, :]
         )
         bump_mask = (interior.astype(jnp.int32) * jnp.int32(0x01010101)).reshape(
-            1, 1, d.padded_h // 8, 8, d.padded_w // 4
+            1, 1, d.padded_h // ALIGN_Y, ALIGN_Y, d.padded_w // 4
         )
     else:
         bump_mask = jnp.uint8(1)

@@ -103,9 +103,11 @@ def main():
             ((rr >= d.pad_y) & (rr < d.pad_y + h))[:, None]
             & ((cc >= d.pad_x // 4) & (cc < (d.pad_x + w) // 4))[None, :]
         )
+        from apse_uav_tpu.preproc.pallas_remap import ALIGN_Y
+
         bump_mask = jnp.asarray(
             (interior.astype(np.int32) * 0x01010101).reshape(
-                1, 1, d.padded_h // 8, 8, d.padded_w // 4
+                1, 1, d.padded_h // ALIGN_Y, ALIGN_Y, d.padded_w // 4
             )
         )
 

@@ -6,6 +6,10 @@ Variants:
   pad2d      jnp.pad alone (no reshape)
   dus        zeros-init + dynamic_update_slice
   reshape    pre-padded input, reshape only (the proposed ingest form)
+
+Each variant consumes its result with a FULL sum — a tiny slice-sum lets the
+XLA simplifier rewrite slice-of-pad into a slice and dead-code the pad under
+test.  The sum's read-back cost rides every variant equally.
 """
 
 import sys
@@ -58,24 +62,24 @@ def main():
     @jax.jit
     def s_pad(fr):
         p = jnp.pad(fr, pads).reshape(batch, 3, dims.padded_h // 8, 8, dims.padded_w // 4)
-        return bump(fr, p[:, :, :, 0, :1].sum(dtype=jnp.int32))
+        return bump(fr, p.sum(dtype=jnp.int32))
 
     @jax.jit
     def s_pad2d(fr):
         p = jnp.pad(fr, pads)
-        return bump(fr, p[:, :, :1, :1].sum(dtype=jnp.int32))
+        return bump(fr, p.sum(dtype=jnp.int32))
 
     @jax.jit
     def s_dus(fr):
         z = jnp.zeros((batch, 3, dims.padded_h, dims.padded_w // 4), jnp.int32)
         p = jax.lax.dynamic_update_slice(z, fr, (0, 0, pads[2][0], pads[3][0]))
         p = p.reshape(batch, 3, dims.padded_h // 8, 8, dims.padded_w // 4)
-        return bump(fr, p[:, :, :, 0, :1].sum(dtype=jnp.int32))
+        return bump(fr, p.sum(dtype=jnp.int32))
 
     @jax.jit
     def s_reshape(fr):
         p = fr.reshape(batch, 3, dims.padded_h // 8, 8, dims.padded_w // 4)
-        return bump(fr, p[:, :, :, 0, :1].sum(dtype=jnp.int32))
+        return bump(fr, p.sum(dtype=jnp.int32))
 
     for name, step, inp in (("pad", s_pad, frames), ("pad2d", s_pad2d, frames),
                             ("dus", s_dus, frames), ("reshape", s_reshape, frames_p)):

@@ -2,7 +2,12 @@
 """Sub-step attribution of twopass.pool_packed_to_packed on the real chip.
 
 Cumulative variants (each adds one op of the pool chain) so the increment
-isolates the op.  Honest-measurement rules per PERF_NOTES.md.
+isolates the op.  Honest-measurement rules per PERF_NOTES.md.  Every variant
+consumes its intermediate with a FULL sum (a tiny slice-sum lets XLA's
+simplifier rewrite slice-of-pad / slice-of-reduce_window and dead-code the op
+under test); the sum's own read-back cost rides every variant, so increments
+still attribute fairly.  A startup assert pins the inline chain to
+twopass.pool_packed_to_packed so op-by-op drift is caught.
 """
 
 import sys
@@ -51,15 +56,15 @@ def main():
     def chain(fr, stop):
         packed = pipe.pre.pack(fr)
         if stop == "pack":
-            return packed[:, :, :, 0, :1].sum(dtype=jnp.int32)
+            return packed.sum(dtype=jnp.int32)
         core = packed[:, :, pad_y // 8 : (pad_y + h) // 8, :, pad_x // 4 : (pad_x + w) // 4]
         s4 = ((core >> 0) & 255) + ((core >> 8) & 255) + ((core >> 16) & 255) + ((core >> 24) & 255)
         if stop == "s4":
-            return s4[:, :, :, 0, :1].sum(dtype=jnp.int32)
+            return s4.sum(dtype=jnp.int32)
         v = jax.lax.reduce_window(s4, jnp.int32(0), jax.lax.add, (1, 1, 1, 4, 1), (1, 1, 1, 4, 1), "VALID")
         byte = (v + 8) >> 4
         if stop == "vert":
-            return byte[:, :, :, 0, :1].sum(dtype=jnp.int32)
+            return byte.sum(dtype=jnp.int32)
         lane_w = jnp.left_shift(
             jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w // 4), 4) % 4)
         )
@@ -67,7 +72,7 @@ def main():
             byte * lane_w, jnp.int32(0), jax.lax.add, (1, 1, 1, 1, 4), (1, 1, 1, 1, 4), "VALID"
         )
         if stop == "repack":
-            return pp[:, :, :, 0, :1].sum(dtype=jnp.int32)
+            return pp.sum(dtype=jnp.int32)
         pp = pp.reshape(batch, 3, h // 4, w // 16)
         hpool, wpool = h // 4, w // 4
         hp2, wp2 = pdims.padded_h, pdims.padded_w
@@ -77,7 +82,18 @@ def main():
              (pdims.pad_x // 4, (wp2 - pdims.pad_x - wpool) // 4)),
         )
         pp = pp.reshape(batch, 3, hp2 // 8, 8, wp2 // 4)
-        return pp[:, :, :, 0, :1].sum(dtype=jnp.int32)
+        if stop == "array":
+            return pp
+        return pp.sum(dtype=jnp.int32)
+
+    # Drift guard: the inline chain above re-implements
+    # twopass.pool_packed_to_packed op by op so each stop isolates one op;
+    # assert it still matches the real implementation before timing.
+    real = jax.jit(
+        lambda fr: twopass.pool_packed_to_packed(pipe.pre.pack(fr), dims, h, w, pdims)
+    )(frames)
+    inline = jax.jit(lambda fr: chain(fr, "array"))(frames)
+    np.testing.assert_array_equal(np.asarray(real), np.asarray(inline))
 
     for stop in ("pack", "s4", "vert", "repack", "full"):
         @jax.jit
