@@ -27,8 +27,29 @@ class LoaderConfig:
     flip_prob: float = 0.5
     color_aug: bool = True
     aug_range: tuple[float, float] = (0.8, 1.2)
+    # RandomLighting (PCA) scale (UAV_utils.py:341, detectron2 semantics:
+    # per-image constant offset eigen_vecs @ (N(0, scale) * eigen_vals) in
+    # RGB order, on the 0-255 pixel scale).  0 disables.
+    lighting_scale: float = 0.2
     mask_size: int = 0  # if >0, rasterize GT masks at (mask_size, mask_size)
     channel_format: str = "BGR"
+
+
+# ImageNet PCA lighting basis (AlexNet fancy-PCA constants, as used by
+# detectron2's T.RandomLighting): columns are RGB eigenvectors of the
+# pixel-covariance, eigen_vals their eigenvalues.
+LIGHTING_EIGEN_VECS = np.array(
+    [[-0.5675, 0.7192, 0.4009],
+     [-0.5808, -0.0045, -0.8140],
+     [-0.5836, -0.6948, 0.4203]], np.float32
+)
+LIGHTING_EIGEN_VALS = np.array([0.2175, 0.0188, 0.0045], np.float32)
+
+
+def lighting_delta(rng: np.random.Generator, scale: float) -> np.ndarray:
+    """Per-image constant RGB offset of the PCA lighting augmentation."""
+    w = rng.normal(scale=scale, size=3).astype(np.float32)
+    return LIGHTING_EIGEN_VECS @ (w * LIGHTING_EIGEN_VALS)
 
 
 def pad_gt(annotations: Sequence[dict], max_gt: int, scale: tuple[float, float], flip_w: float | None) -> dict:
@@ -91,15 +112,21 @@ class DetectionLoader:
 
     def _augment(self, img: np.ndarray) -> np.ndarray:
         lo, hi = self.cfg.aug_range
-        # Brightness / contrast / saturation, each a random blend
-        # (detectron2 transform semantics: img*w + target*(1-w)).
+        # Brightness / saturation / contrast / PCA lighting, each a random
+        # blend (detectron2 transform semantics: img*w + target*(1-w)),
+        # applied in the reference's append order (UAV_utils.py:338-341).
         b = self.rng.uniform(lo, hi)
         img = img * b
-        c = self.rng.uniform(lo, hi)
-        img = img * c + img.mean() * (1 - c)
         s = self.rng.uniform(lo, hi)
         gray = img.mean(axis=2, keepdims=True)
         img = img * s + gray * (1 - s)
+        c = self.rng.uniform(lo, hi)
+        img = img * c + img.mean() * (1 - c)
+        if self.cfg.lighting_scale > 0:
+            delta = lighting_delta(self.rng, self.cfg.lighting_scale)
+            if self.cfg.channel_format == "BGR":
+                delta = delta[::-1]  # basis is RGB-ordered
+            img = img + delta
         return np.clip(img, 0, 255)
 
     def _one(self, d: dict) -> tuple[np.ndarray, dict]:

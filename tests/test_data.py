@@ -99,6 +99,55 @@ def test_cowc_generator(tmp_path):
     assert boxes[0][2] == 10 and boxes[0][3] == 10
 
 
+def test_lighting_augmentation(tmp_path):
+    """PCA RandomLighting (UAV_utils.py:341): per-image constant RGB offset
+    with covariance V diag((s*lambda)^2) V^T; never perturbs the GT."""
+    from apse_uav_tpu.data.loader import (
+        LIGHTING_EIGEN_VALS,
+        LIGHTING_EIGEN_VECS,
+        lighting_delta,
+    )
+
+    rng = np.random.default_rng(7)
+    scale = 0.2
+    deltas = np.stack([lighting_delta(rng, scale) for _ in range(4000)])
+    assert np.abs(deltas.mean(axis=0)).max() < 0.01
+    want_cov = LIGHTING_EIGEN_VECS @ np.diag((scale * LIGHTING_EIGEN_VALS) ** 2) @ LIGHTING_EIGEN_VECS.T
+    got_cov = np.cov(deltas.T)
+    assert np.abs(got_cov - want_cov).max() < 0.2 * np.abs(want_cov).max() + 1e-5
+
+    # Applied to an image: a constant per-pixel offset (before clipping).
+    for i in range(2):
+        _png(tmp_path / f"im{i}.png", 40, 56, value=100 + i)
+    dicts = [
+        {
+            "file_name": str(tmp_path / f"im{i}.png"),
+            "image_id": i,
+            "height": 40,
+            "width": 56,
+            "annotations": [
+                {"bbox": [4, 4, 16, 12], "bbox_mode": "xywh", "category_id": 0, "is_crowd": 0}
+            ],
+        }
+        for i in range(2)
+    ]
+    base = dict(train_size=(64, 96), min_size=48, max_size=96, max_gt=4, batch_size=2,
+                flip_prob=0.0, aug_range=(1.0, 1.0))
+    on = DetectionLoader(dicts, LoaderConfig(**base, lighting_scale=50.0), training=True, seed=3)
+    off = DetectionLoader(dicts, LoaderConfig(**base, lighting_scale=0.0), training=True, seed=3)
+    (img_on, gt_on), (img_off, gt_off) = next(iter(on)), next(iter(off))
+    # GT invariance: lighting is pixel-only, drawn after all geometric draws.
+    # (Element 0 only: its preceding rng stream is identical in both loaders;
+    # later elements see a shifted stream because lighting consumed draws.)
+    np.testing.assert_array_equal(gt_on["boxes"][0], gt_off["boxes"][0])
+    np.testing.assert_array_equal(gt_on["valid"][0], gt_off["valid"][0])
+    diff = img_on[0] - img_off[0]
+    interior = diff[2:30, 2:60]  # unclipped, unpadded region
+    assert np.abs(interior).max() > 0.5  # scale=10 visibly moves pixels
+    per_channel_spread = interior.std(axis=(0, 1))  # constant per channel
+    assert per_channel_spread.max() < 1e-3
+
+
 def test_detection_loader_fixed_shapes(tmp_path):
     for i in range(4):
         _png(tmp_path / f"im{i}.png", 50, 70, value=50 + i)
