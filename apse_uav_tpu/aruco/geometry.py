@@ -87,10 +87,16 @@ def average_marker_size(msp_ring: Array, msp: Array):
     return new_ring, size_corr, msp * size_corr
 
 
-def project_int(points: Array, rvec: Array, tvec: Array, mtx: Array, dist: Array) -> Array:
+def project_int(points: Array, rvec: Array, tvec: Array, mtx: Array, dist: Array,
+                bias_xy: tuple[float, float] = (0.0, 0.0)) -> Array:
     """projectPoints + np.maximum(0, np.int32(...)) (aruco_detect.py:344-345
-    and 375-404): truncation toward zero then clamping at 0."""
+    and 375-404): truncation toward zero then clamping at 0.
+
+    ``bias_xy`` is added to the float projection before truncation (cv2
+    corner-bias compatibility — see pipeline._led_value)."""
     proj = camera.project_points(points, rvec, tvec, mtx, dist)
+    if bias_xy != (0.0, 0.0):
+        proj = proj + jnp.asarray(bias_xy, proj.dtype)
     return jnp.maximum(0.0, _trunc(proj))
 
 

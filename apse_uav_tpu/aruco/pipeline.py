@@ -43,6 +43,10 @@ class ArucoPipelineConfig:
     use_centroid_data: bool = False
     source_lidar: bool = False
     leds_threshold: float | None = None
+    # cv2-compat shift (px) of the projected LED sample points before the
+    # int() truncation, matching the oracle's measured systematic corner
+    # bias (~+0.45 px both axes; scripts/analyze_leds.py).  (0, 0) = off.
+    led_bias_px: tuple[float, float] = (0.0, 0.0)
     use_pallas_preproc: bool = True
     # Frames remapped per Pallas grid step (amortizes the fixed per-step
     # overhead across the batch; falls back to 1 when the batch size is
@@ -114,9 +118,19 @@ def _slot_by_id(ids: Array, corners: Array):
     return present, slot_corners
 
 
-def _led_value(gray: Array, rvec: Array, tvec: Array, size_corr: Array, altitude_real: Array, mtx, dist, threshold):
-    """detectAndDrawLEDs (aruco_detect.py:338-373)."""
-    pts = geo.project_int(geo.LED_POINTS, rvec, tvec / size_corr, mtx, dist)  # (8,2) x,y
+def _led_value(gray: Array, rvec: Array, tvec: Array, size_corr: Array, altitude_real: Array, mtx, dist, threshold,
+               bias_xy: tuple[float, float] = (0.0, 0.0)):
+    """detectAndDrawLEDs (aruco_detect.py:338-373).
+
+    ``bias_xy`` shifts the projected points before the int() truncation —
+    the cv2-compat knob for the oracle's systematic corner bias (cv2's
+    CORNER_REFINE_APRILTAG places corners ~+0.45 px of ground truth in both
+    axes on rendered scenes while ours sit at truth to ~0.03 px, measured by
+    scripts/analyze_leds.py; the common-mode shift cancels in every distance
+    column but moves the 5x5 LED windows, which matters once the LED discs
+    shrink to window size at 65 m)."""
+    pts = geo.project_int(geo.LED_POINTS, rvec, tvec / size_corr, mtx, dist,
+                          bias_xy=bias_xy)  # (8,2) x,y
     if threshold is None:
         thr = jnp.maximum(190.0 + jnp.trunc(altitude_real), 240.0)
     else:
@@ -373,7 +387,8 @@ class ArucoPipeline:
 
             leds = jnp.where(
                 host,
-                _led_value(f["gray"], rvec[3], tvec[3], size_corr[3], altitude_real, mtx, dist, cfg.leds_threshold),
+                _led_value(f["gray"], rvec[3], tvec[3], size_corr[3], altitude_real, mtx, dist, cfg.leds_threshold,
+                           bias_xy=cfg.led_bias_px),
                 carry["leds"],
             )
 

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_centroid_data", action="store_true")
     p.add_argument("--N_avg", type=int, default=1)
     p.add_argument("--LEDs_threshold", type=float, default=None)
+    p.add_argument("--led_bias", type=float, nargs=2, default=(0.0, 0.0),
+                   metavar=("DX", "DY"),
+                   help="cv2-compat shift (px) of projected LED sample points "
+                        "(the oracle's measured corner bias; scripts/analyze_leds.py)")
     p.add_argument("--source_lidar", dest="sourceLidar", action="store_true")
     p.add_argument("--path_camera_params", required=True)
     p.add_argument("--use_images", action="store_true")
@@ -159,6 +163,7 @@ def main(argv=None) -> int:
         use_centroid_data=args.use_centroid_data,
         source_lidar=args.sourceLidar,
         leds_threshold=args.LEDs_threshold,
+        led_bias_px=tuple(args.led_bias),
         use_pallas_preproc=not args.xla_preproc,
     )
     pipe = ArucoPipeline(mtx, dist, (args.width, args.height), cfg)

@@ -111,13 +111,19 @@ class RcnnTracker:
         self._scan = jax.jit(self._scan_impl)
 
     def _scan_impl(self, state, dets, feats_p2):
-        def step(s, xs):
-            det, f = xs
-            return tracker_mod.tracker_step(
-                s, det, f, self.assoc_params, self.cfg, self.orig_hw
+        # The stateless half (top-k cap + re-ID embeddings) batches over all
+        # T frames at once; only the state-carrying association scans.
+        dets, emb = jax.vmap(
+            lambda det, f: tracker_mod.prepare_frame(
+                det, f, self.assoc_params, self.cfg, self.orig_hw
             )
+        )(dets, feats_p2)
 
-        return jax.lax.scan(step, state, (dets, feats_p2))
+        def step(s, xs):
+            det, e = xs
+            return tracker_mod.tracker_step_assoc(s, det, e, self.cfg, self.orig_hw)
+
+        return jax.lax.scan(step, state, (dets, emb))
 
     def reset(self):
         self.state = structures.init_track_state(self.cfg.max_tracks, self.cfg.embedding_dim)

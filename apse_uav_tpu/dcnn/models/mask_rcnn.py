@@ -165,6 +165,14 @@ class MaskRCNN(nn.Module):
             feats = jax.tree_util.tree_map(jax.lax.stop_gradient, feats)
         rpn_feats = {n: feats[n] for n in RPN_LEVELS}
         logits, deltas = self.rpn_head(rpn_feats)
+        # bf16 training: heads compute in cfg.compute_dtype, but everything
+        # the LOSSES consume is cast to f32 here so anchor matching, box
+        # decoding, and loss reductions stay full-precision (f32 master
+        # params + f32 loss reductions; no-op when compute_dtype is f32).
+        to_f32 = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), t
+        )
+        logits, deltas = to_f32(logits), to_f32(deltas)
         level_shapes = {n: tuple(rpn_feats[n].shape[1:3]) for n in RPN_LEVELS}
         image_hw = tuple(images.shape[1:3])
         b = images.shape[0]
@@ -191,13 +199,15 @@ class MaskRCNN(nn.Module):
                 feats_i, sample["boxes"], cfg.roi.box_pooler_resolution, cfg.roi.pooler_sampling_ratio
             )
             cls_logits, box_deltas = self.box_head(pooled)
+            cls_logits = cls_logits.astype(jnp.float32)
+            box_deltas = box_deltas.astype(jnp.float32)
             losses.update(box_head_losses(cls_logits, box_deltas, sample, gt_i["boxes"], cfg.roi))
             if cfg.mask_on and "masks" in gt_i:
                 r2 = 2 * cfg.roi.mask_pooler_resolution
                 mask_pooled = fpn_roi_align(
                     feats_i, sample["boxes"], cfg.roi.mask_pooler_resolution, cfg.roi.pooler_sampling_ratio
                 )
-                mask_logits = self.mask_head(mask_pooled)
+                mask_logits = self.mask_head(mask_pooled).astype(jnp.float32)
                 # GT mask for each sample: crop the matched GT's full-image
                 # mask to the sampled box, resampled to 2R x 2R.  Gather +
                 # crop run CHUNKED over the samples: the naive per-sample

@@ -54,6 +54,31 @@ def paste_mask_lowres(mask_rr: Array, box: Array, grid_hw: tuple[int, int], imag
     return jnp.where(inside, mask_rr[yi][:, xi], 0.0)
 
 
+def _mask_plane_patch(
+    mask_rr: Array, box: Array, anchor_yx: tuple[Array, Array],
+    patch_hw: tuple[int, int], image_hw: tuple[int, int], feat_hw: tuple[int, int],
+) -> Array:
+    """Paste one (R, R) box-space mask onto a feature-resolution PATCH.
+
+    Same arithmetic as :func:`paste_mask_lowres` for the (gh, gw) =
+    ``feat_hw`` full grid, restricted to the ``patch_hw`` window at
+    ``anchor_yx`` — the patch rows/cols are the global texels
+    anchor + arange(P)."""
+    ph, pw = patch_hw
+    sy = image_hw[0] / feat_hw[0]
+    sx = image_hw[1] / feat_hw[1]
+    x1, y1, x2, y2 = box
+    r = mask_rr.shape[0]
+    gx = anchor_yx[1] + jnp.arange(pw)
+    gy = anchor_yx[0] + jnp.arange(ph)
+    xs = ((gx + 0.5) * sx - x1) / jnp.maximum(x2 - x1, 1e-4) * r - 0.5
+    ys = ((gy + 0.5) * sy - y1) / jnp.maximum(y2 - y1, 1e-4) * r - 0.5
+    xi = jnp.clip(jnp.round(xs).astype(jnp.int32), 0, r - 1)
+    yi = jnp.clip(jnp.round(ys).astype(jnp.int32), 0, r - 1)
+    inside = ((xs > -1) & (xs < r))[None, :] & ((ys > -1) & (ys < r))[:, None]
+    return jnp.where(inside, mask_rr[yi][:, xi], 0.0)
+
+
 def detection_embeddings(
     assoc_params,
     feats_p2: Array,
@@ -62,30 +87,73 @@ def detection_embeddings(
     roi_size: int = 10,
     crop_features: bool = True,
     embedding_dim: int = 128,
+    sampling_ratio: int = 4,
+    patch: int = 48,
 ) -> Array:
     """Re-ID embeddings for one frame's detections (get_features_rois +
     AssociationHead; rcnn_tracker.py:122-125,156-189).
 
     feats_p2: (H4, W4, C) p2 feature map of this image.
+
+    TPU formulation: per-sample bilinear gathers from the HBM-resident
+    feature map (plus SCALAR gathers for the mask-modulation plane) dominate
+    the old roi_align path — per PERF_NOTES.md, extract one
+    ``dynamic_slice`` patch per detection and express the whole
+    mask-crop + ROIAlign as hat-function interpolation MATMULS instead:
+
+        out[s, t, c] = sum_pq Wy[s, p] * (plane * patch)[p, q, c] * Wx[t, q]
+
+    which is numerically the same linear combination roi_align computes
+    (bilinear weights are hat functions of the clipped sample coords; the
+    plane modulation is texel-wise either way).  EXACT for boxes spanning
+    <= patch-2 texels at feature resolution (~2,100 px at 4K with p2
+    stride 4 and ``patch=48``); larger boxes clamp their sample grid to the
+    patch window, shrinking the effective ROI — far beyond the UAV vehicle
+    regime this tracker targets.
     """
     h4, w4, c = feats_p2.shape
     spatial_scale = w4 / image_hw[1]
-    if crop_features:
-        # Mask-crop: paste detection masks at p2 resolution, multiply.  The
-        # multiply rides INSIDE roi_align as a texel-wise modulation plane
-        # (exact — bilinear is linear per-texel): materializing
-        # feats_p2 * mask per detection would be a (D, H4, W4, C) tensor,
-        # ~2 GB per 4K frame at D=32.
-        masks_p2 = jax.vmap(
-            lambda m, b: paste_mask_lowres(m, b, (h4, w4), image_hw)
-        )(det["masks"], det["boxes"])  # (D, H4, W4)
-        rois = jax.vmap(
-            lambda m, b: roi_align_hwc(
-                feats_p2, b[None], roi_size, spatial_scale, 4, False, plane=m
-            )[0]
-        )(masks_p2, det["boxes"])  # (D, C, R, R)
-    else:
-        rois = roi_align_hwc(feats_p2, det["boxes"], roi_size, spatial_scale, 4, False)
+    s = max(int(sampling_ratio), 1)
+    n = roi_size * s
+    py = min(patch, h4)
+    px = min(patch, w4)
+
+    def one(box, mask_rr):
+        x1 = box[0] * spatial_scale
+        y1 = box[1] * spatial_scale
+        x2 = box[2] * spatial_scale
+        y2 = box[3] * spatial_scale
+        rw = jnp.maximum(x2 - x1, 1.0)  # aligned=False legacy min size
+        rh = jnp.maximum(y2 - y1, 1.0)
+        grid = (jnp.arange(roi_size)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+        ys = y1 + grid * (rh / roi_size)  # (n,)
+        xs = x1 + grid * (rw / roi_size)
+        oor_y = (ys < -1.0) | (ys > h4 * 1.0)  # torchvision border band
+        oor_x = (xs < -1.0) | (xs > w4 * 1.0)
+        ysc = jnp.clip(ys, 0.0, h4 - 1.0)
+        xsc = jnp.clip(xs, 0.0, w4 - 1.0)
+        ay = jnp.clip(jnp.floor(ysc[0]).astype(jnp.int32), 0, h4 - py)
+        ax = jnp.clip(jnp.floor(xsc[0]).astype(jnp.int32), 0, w4 - px)
+        yloc = jnp.clip(ysc - ay, 0.0, py - 1.0)
+        xloc = jnp.clip(xsc - ax, 0.0, px - 1.0)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(yloc[:, None] - jnp.arange(py)[None, :]))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(xloc[:, None] - jnp.arange(px)[None, :]))
+        wy = jnp.where(oor_y[:, None], 0.0, wy)  # (n, py)
+        wx = jnp.where(oor_x[:, None], 0.0, wx)  # (n, px)
+        pt = jax.lax.dynamic_slice(feats_p2, (ay, ax, 0), (py, px, c))
+        if crop_features:
+            plane = _mask_plane_patch(mask_rr, box, (ay, ax), (py, px), image_hw, (h4, w4))
+            pt = pt * plane[..., None]
+        sampled = jnp.einsum(
+            "sp,pqc->sqc", wy, pt, precision=jax.lax.Precision.HIGHEST
+        )
+        sampled = jnp.einsum(
+            "sqc,tq->stc", sampled, wx, precision=jax.lax.Precision.HIGHEST
+        )  # (n ys, n xs, C)
+        vals = sampled.reshape(roi_size, s, roi_size, s, c).mean(axis=(1, 3))
+        return jnp.transpose(vals, (2, 0, 1))  # (C, oh, ow)
+
+    rois = jax.vmap(one)(det["boxes"], det["masks"])  # (D, C, R, R)
     head = AssociationHead(embedding_dim=embedding_dim)
     return head.apply({"params": assoc_params}, rois)
 
@@ -255,6 +323,32 @@ def associate_mask_iou(state, det, embeddings, threshold, image_hw, grid: int = 
     return _allocate_new_tracks(state, det, embeddings, det["valid"] & ~is_matched)
 
 
+def prepare_frame(
+    det: dict[str, Array],
+    feats_p2: Array,
+    assoc_params,
+    cfg: TrackerConfig,
+    image_hw: tuple[int, int],
+) -> tuple[dict[str, Array], Array]:
+    """The STATELESS per-frame half of a tracker step: top-k detection cap +
+    re-ID embeddings.  Independent of the track state, so engines vmap it
+    over whole frame batches instead of paying it sequentially inside the
+    association scan (the round-4 layout cost 7.16 ms/frame there)."""
+    d_cap = det["valid"].shape[0]
+    if d_cap > cfg.max_detections:
+        # Cap the association problem: the assignment solvers' sequential
+        # sweeps are latency-bound device steps, so keep only the
+        # top-scoring detections (far above any real per-frame count).
+        k = cfg.max_detections
+        _, top = jax.lax.top_k(jnp.where(det["valid"], det["scores"], -jnp.inf), k)
+        det = {key: v[top] for key, v in det.items()}
+    emb = detection_embeddings(
+        assoc_params, feats_p2, det, image_hw, cfg.roi_size,
+        embedding_dim=cfg.embedding_dim,
+    )
+    return det, emb
+
+
 def tracker_step(
     state: dict[str, Array],
     det: dict[str, Array],
@@ -268,18 +362,19 @@ def tracker_step(
     det: boxes (D, 4), scores (D,), classes (D,), masks (D, R, R), valid (D,).
     Returns (new_state, recent_objects).
     """
-    # Cap the association problem: the Hungarian solver's sequential
-    # augmenting paths cost O(n^2) latency-bound device steps, so keep only
-    # the top-scoring detections (far above any real per-frame vehicle count).
-    d_cap = det["valid"].shape[0]
-    if d_cap > cfg.max_detections:
-        k = cfg.max_detections
-        _, top = jax.lax.top_k(jnp.where(det["valid"], det["scores"], -jnp.inf), k)
-        det = {key: v[top] for key, v in det.items()}
-    emb = detection_embeddings(
-        assoc_params, feats_p2, det, image_hw, cfg.roi_size,
-        embedding_dim=cfg.embedding_dim,
-    )
+    det, emb = prepare_frame(det, feats_p2, assoc_params, cfg, image_hw)
+    return tracker_step_assoc(state, det, emb, cfg, image_hw)
+
+
+def tracker_step_assoc(
+    state: dict[str, Array],
+    det: dict[str, Array],
+    emb: Array,
+    cfg: TrackerConfig,
+    image_hw: tuple[int, int],
+) -> tuple[dict[str, Array], dict[str, Array]]:
+    """The STATE-CARRYING half of a tracker step (see :func:`prepare_frame`):
+    associate, prune, snapshot, age."""
     if cfg.association_metric == "embeddings":
         state = associate_embeddings(state, det, emb, cfg.embedding_dist_threshold)
     elif cfg.association_metric == "bbox_center_dist":

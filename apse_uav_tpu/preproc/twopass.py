@@ -75,7 +75,8 @@ def pool_source_u8(frames: Array, st: int, out_hw: tuple[int, int]) -> Array:
     return jnp.pad(pooled, ((0, 0), (0, 0), (0, hp - h // st), (0, wp - w // st)))
 
 
-def pool_packed_to_packed(packed: Array, dims, h: int, w: int, pooled_dims) -> Array:
+def pool_packed_to_packed(packed: Array, dims, h: int, w: int, pooled_dims,
+                          repack: str = "matmul") -> Array:
     """4x4-mean-pool the PACKED kernel source straight into the POOLED
     plan's packed form — no planar u8 intermediate, no re-pack.
 
@@ -106,12 +107,35 @@ def pool_packed_to_packed(packed: Array, dims, h: int, w: int, pooled_dims) -> A
     # Vertical 4-sum over the sublane (8-row-group) axis: native pooling.
     v = jax.lax.reduce_window(s4, jnp.int32(0), jax.lax.add, (1, 1, 1, 4, 1), (1, 1, 1, 4, 1), "VALID")
     byte = (v + 8) >> 4  # pooled u8 value, kept i32: (B, 3, H/8, 2, W/4)
-    lane_w = jnp.left_shift(
-        jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, w // 4), 4) % 4)
-    )
-    pp = jax.lax.reduce_window(
-        byte * lane_w, jnp.int32(0), jax.lax.add, (1, 1, 1, 1, 4), (1, 1, 1, 1, 4), "VALID"
-    )  # (B, 3, H/8, 2, W/16)
+    nl = w // 4  # pooled bytes per row (source lanes)
+    if repack == "matmul":
+        # Lane repack out[k] = sum_j byte[4k+j] << 8j as two MXU dots: the
+        # stride-4 lane-window reduce_window costs ~0.5 ms/frame on the
+        # v5e while the MXU sits idle.  Each dot's accumuland is bounded by
+        # 255 * (1 + 256) = 65535 < 2^24, so f32 accumulation is EXACT.
+        lane = np.arange(nl)
+        p_lo = np.zeros((nl, nl // 4), np.float32)
+        p_hi = np.zeros((nl, nl // 4), np.float32)
+        sel_lo = (lane % 4) < 2
+        p_lo[lane[sel_lo], lane[sel_lo] // 4] = (256 ** (lane[sel_lo] % 4)).astype(np.float32)
+        p_hi[lane[~sel_lo], lane[~sel_lo] // 4] = (256 ** (lane[~sel_lo] % 4 - 2)).astype(np.float32)
+        bf = byte.astype(jnp.float32)
+        lo = jax.lax.dot_general(
+            bf, jnp.asarray(p_lo), (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        hi = jax.lax.dot_general(
+            bf, jnp.asarray(p_hi), (((4,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        pp = lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 16)
+    else:
+        lane_w = jnp.left_shift(
+            jnp.int32(1), 8 * (jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, 1, nl), 4) % 4)
+        )
+        pp = jax.lax.reduce_window(
+            byte * lane_w, jnp.int32(0), jax.lax.add, (1, 1, 1, 1, 4), (1, 1, 1, 1, 4), "VALID"
+        )  # (B, 3, H/8, 2, W/16)
     pp = pp.reshape(b, 3, h // 4, w // 16)
     hpool, wpool = h // 4, w // 4
     hp2, wp2 = pooled_dims.padded_h, pooled_dims.padded_w

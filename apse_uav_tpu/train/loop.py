@@ -115,15 +115,34 @@ def finetune_detector(
     ))
     rng = jax.random.PRNGKey(seed + 1)
     results_path = os.path.join(workdir, "results.txt")
-    batch = (images0, gt0)
+    # Double-buffered device feed: the current batch is already on device
+    # when its step dispatches; the NEXT batch's host load + host->device
+    # transfer overlap the in-flight step (JAX dispatch is asynchronous, so
+    # device_put and next(it) below run while the device crunches).  The
+    # reference hides this latency behind torch DataLoader worker processes
+    # (UAV_utils.py:242-262); on a TPU host the overlap-by-async-dispatch
+    # form needs no extra processes.
+    dev_batch = (
+        jax.device_put(jnp.asarray(images0)),
+        jax.device_put(jax.tree_util.tree_map(jnp.asarray, gt0)),
+    )
     t0 = time.time()
     while iteration < max_iter:
-        images, gt = batch
+        images, gt = dev_batch
         rng, sub = jax.random.split(rng)
-        params, opt_state, losses = step(
-            params, opt_state, jnp.asarray(images), jax.tree_util.tree_map(jnp.asarray, gt), sub
-        )
+        params, opt_state, losses = step(params, opt_state, images, gt, sub)
         iteration += 1
+        dev_batch = None
+        if iteration < max_iter:
+            try:
+                nb = next(it)
+            except StopIteration:
+                max_iter = iteration  # finite iterable exhausted
+            else:
+                dev_batch = (
+                    jax.device_put(jnp.asarray(nb[0])),
+                    jax.device_put(jax.tree_util.tree_map(jnp.asarray, nb[1])),
+                )
         if iteration % test_period == 0 or iteration == max_iter:
             losses = jax.tree_util.tree_map(float, losses)
             stats = evaluate_detector(model, params, eval_batches_fn())
@@ -138,11 +157,6 @@ def finetune_detector(
                 f"iter {iteration}: AP={stats['AP']:.4f} AR={stats['AR100']:.4f} "
                 f"loss={losses['loss_total']:.4f} ({time.time() - t0:.1f}s)"
             )
-        if iteration < max_iter:
-            try:
-                batch = next(it)
-            except StopIteration:
-                break  # finite iterable exhausted: stop after the last step
     return params
 
 

@@ -157,36 +157,39 @@ def main():
                  if v.ndim > 2 else jnp.take_along_axis(v, top, axis=1)
                  for key, v in det_c.items()}
 
+    def _prepare_batch(d, f_p2):
+        return jax.vmap(
+            lambda det_i, f_i: T.prepare_frame(det_i, f_i, assoc_params, tcfg, orig_hw)
+        )(d, f_p2)
+
+    def _assoc_scan(state, d, emb):
+        def step(s, xs):
+            det, e = xs
+            return T.tracker_step_assoc(s, det, e, tcfg, orig_hw)
+        return jax.lax.scan(step, state, (d, emb))
+
     if "embed" in stages:
         @jax.jit
         def s_emb(x):
-            def one(det_i, f_i):
-                return T.detection_embeddings(
-                    assoc_params, f_i, det_i, orig_hw, tcfg.roi_size,
-                    embedding_dim=tcfg.embedding_dim,
-                )
-            emb = jax.vmap(one)(det_c, x)
+            _, emb = _prepare_batch(dets0, x)
             return x + (emb.sum()).astype(x.dtype)
         report("embed", timed(s_emb, p2))
 
     if "scan" in stages:
+        det_p0, emb0 = jax.jit(_prepare_batch)(dets0, p2)
+
         @jax.jit
-        def s_scan(x):
-            def step(s, xs):
-                det, f = xs
-                return T.tracker_step(s, det, f, assoc_params, tcfg, orig_hw)
-            _, recents = jax.lax.scan(step, state0, (dets0, x))
-            return x + recents["boxes"].sum().astype(x.dtype)
-        report("scan", timed(s_scan, p2))
+        def s_scan(e):
+            _, recents = _assoc_scan(state0, det_p0, e)
+            return e + recents["boxes"].sum().astype(e.dtype)
+        report("scan", timed(s_scan, emb0))
 
     if "engine" in stages:
         @jax.jit
         def s_all(fr):
             d, f = predictor._infer_impl(predictor.params, fr)
-            def step(s, xs):
-                det, ff = xs
-                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
-            _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
+            d, emb = _prepare_batch(d, f["p2"])
+            _, recents = _assoc_scan(state0, d, emb)
             return fr + (recents["boxes"].sum()).astype(jnp.uint8)
         report("engine", timed(s_all, frames))
 
@@ -216,12 +219,8 @@ def main():
             # constants, which together with the ArUco remap tables
             # overflow the tunnel's remote-compile request (HTTP 413).
             d, f = predictor._infer_impl(params_, fr)
-
-            def step(s, xs):
-                det, ff = xs
-                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
-
-            _, recents = jax.lax.scan(step, state0, (d, f["p2"]))
+            d, emb = _prepare_batch(d, f["p2"])
+            _, recents = _assoc_scan(state0, d, emb)
             af = apipe.front(jnp.transpose(fr, (0, 3, 1, 2)))
             firsts = jnp.zeros(fr.shape[0], bool).at[0].set(True)
             _, aout = apipe.scan(
@@ -243,10 +242,8 @@ def main():
         @jax.jit
         def s_all16(fr):
             d, f = pred16._infer_impl(pred16.params, fr)
-            def step(s, xs):
-                det, ff = xs
-                return T.tracker_step(s, det, ff, assoc_params, tcfg, orig_hw)
-            _, recents = jax.lax.scan(step, state0, (d, f["p2"].astype(jnp.float32)))
+            d, emb = _prepare_batch(d, f["p2"].astype(jnp.float32))
+            _, recents = _assoc_scan(state0, d, emb)
             return fr + (recents["boxes"].sum()).astype(jnp.uint8)
         report("engine_bf16", timed(s_all16, frames))
 

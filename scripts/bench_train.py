@@ -34,7 +34,7 @@ def main():
 
     args = sys.argv[1:]
     batch = int(args[0]) if args and args[0].isdigit() else 4
-    stages = [a for a in args if not a.isdigit()] or ["frozen", "full"]
+    stages = [a for a in args if not a.isdigit()] or ["frozen", "full", "frozen16", "full16"]
 
     on_tpu = jax.devices()[0].platform == "tpu"
     print("platform:", jax.devices()[0].platform)
@@ -65,7 +65,7 @@ def main():
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params / 1e6:.1f} M")
 
-    def timed_steps(freeze: bool, label: str):
+    def timed_steps(freeze: bool, label: str, use_model=None):
         if freeze:
             # The reference regime (finetune_uav.py:161): train RPN+ROI only.
             tx = build_finetune_optimizer(params, ("proposal_generator", "roi_heads"), lr=0.01)
@@ -73,7 +73,7 @@ def main():
             tx = build_finetune_optimizer(params, ("backbone", "proposal_generator", "roi_heads"), lr=0.01)
         opt_state = jax.jit(tx.init)(params)
         step = jax.jit(
-            functools.partial(detector_train_step, model, tx, freeze_backbone=freeze),
+            functools.partial(detector_train_step, use_model or model, tx, freeze_backbone=freeze),
         )
         p, s = params, opt_state
         print(f"compiling {label}...", flush=True)
@@ -102,6 +102,13 @@ def main():
         timed_steps(True, "frozen-backbone")
     if "full" in stages:
         timed_steps(False, "full")
+    # bf16 training compute (f32 master params; the model casts everything
+    # the losses consume back to f32 — mask_rcnn.losses).
+    model16 = MaskRCNN(cfg=dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    if "frozen16" in stages:
+        timed_steps(True, "frozen-backbone bf16", use_model=model16)
+    if "full16" in stages:
+        timed_steps(False, "full bf16", use_model=model16)
 
 
 if __name__ == "__main__":

@@ -146,7 +146,7 @@ def run_reference(workdir: str, frames_dir: str, n_frames: int,
 
 def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool,
              force_cpu: bool = False, dcnn_csv: str | None = None,
-             source_lidar: bool = False) -> str:
+             source_lidar: bool = False, led_bias: tuple | None = None) -> str:
     out_csv = os.path.join(workdir, "ours.csv")
     cmd = [
         sys.executable, "-m", "apse_uav_tpu.cli.aruco_detect",
@@ -159,6 +159,8 @@ def run_ours(workdir: str, frames_dir: str, n_frames: int, xla_preproc: bool,
         cmd += ["--use_centroid_data", "--path_dcnn_data", dcnn_csv]
     if source_lidar:
         cmd.append("--source_lidar")
+    if led_bias is not None:
+        cmd += ["--led_bias", str(led_bias[0]), str(led_bias[1])]
     if xla_preproc:
         cmd.append("--xla_preproc")
     if force_cpu:
@@ -254,6 +256,8 @@ def main():
                     default=os.path.join(REPO, "data", "static_dcnn_data.csv"))
     ap.add_argument("--out", default=None,
                     help="also write the JSON summary to this path")
+    ap.add_argument("--led_bias", type=float, nargs=2, default=None,
+                    help="pass --led_bias to our CLI (cv2 corner-bias compat)")
     ap.add_argument("--skip_render", action="store_true",
                     help="reuse frames already in workdir")
     args = ap.parse_args()
@@ -279,7 +283,7 @@ def main():
         "frames": args.frames, "altitude": args.altitude,
         "use_centroid_data": args.use_centroid_data,
         "xla_preproc": args.xla_preproc, "force_cpu": args.force_cpu,
-        "source_lidar": args.source_lidar,
+        "source_lidar": args.source_lidar, "led_bias": args.led_bias,
     }
     print(json.dumps(summary, indent=2))
     print(json.dumps({"parity_pass": summary["pass_0p1m"],

@@ -159,3 +159,48 @@ def test_mask_iou_metric(assoc_params):
     # Same shape translated: centroid-aligned IoU = 1 -> associated.
     state, r = _step(state, _det([[20, 18, 60, 58]]), feats, assoc_params, cfg)
     assert np.asarray(r["ids"])[np.asarray(r["valid"])].tolist() == [1]
+
+
+def test_patch_roi_matches_gather_roi_align():
+    """The patch/interp-matmul ROI extraction inside detection_embeddings is
+    numerically the gather-based roi_align with a mask-modulation plane
+    (rcnn_tracker.py:156-189 semantics) for boxes inside the patch span."""
+    from apse_uav_tpu.dcnn.ops.roi_align import roi_align_hwc
+    from apse_uav_tpu.dcnn.tracker import detection_embeddings, paste_mask_lowres
+
+    rng = np.random.default_rng(7)
+    h4, w4, c = 40, 52, 12
+    image_hw = (h4 * 4, w4 * 4)
+    feats = jnp.asarray(rng.normal(size=(h4, w4, c)), jnp.float32)
+    boxes = jnp.asarray(
+        [[8, 12, 70, 90], [0, 0, 30, 26], [150, 100, 200, 150], [40, 40, 44, 43]],
+        jnp.float32,
+    )
+    masks = jnp.asarray(rng.uniform(size=(4, 28, 28)), jnp.float32)
+    det = {
+        "boxes": boxes,
+        "masks": masks,
+        "scores": jnp.ones(4),
+        "classes": jnp.zeros(4, jnp.int32),
+        "valid": jnp.ones(4, bool),
+    }
+
+    # Identity association head: expose the raw pooled ROI values.
+    roi_size = 5
+    n_flat = c * roi_size * roi_size
+    assoc_params = {"fc": {"kernel": jnp.eye(n_flat), "bias": jnp.zeros(n_flat)}}
+    emb = detection_embeddings(
+        assoc_params, feats, det, image_hw, roi_size=roi_size,
+        embedding_dim=n_flat, sampling_ratio=4, patch=32,
+    )
+    # AssociationHead L2-normalizes; undo per-row to recover pooled ROIs.
+    spatial_scale = w4 / image_hw[1]
+    want = []
+    for i in range(4):
+        plane = paste_mask_lowres(masks[i], boxes[i], (h4, w4), image_hw)
+        want.append(
+            roi_align_hwc(feats, boxes[i][None], roi_size, spatial_scale, 4, False, plane=plane)[0]
+        )
+    want = jnp.stack(want).reshape(4, -1)
+    want = want / jnp.maximum(jnp.linalg.norm(want, axis=-1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(want), atol=2e-5)
