@@ -28,13 +28,25 @@ def build_parser() -> argparse.ArgumentParser:
                       "yt-dlp -g first; direct files/RTSP/HTTP streams work as-is)")
     p.add_argument("--kitti_root", default=None, help="KITTI-MOTS images root (one dir per sequence)")
     p.add_argument("--output_dir", default="mots_results")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None, help="detectron2-format .pkl/.pth weights")
+    p.add_argument("--checkpoint", default=None,
+                   help="native checkpoint saved by the training loops "
+                        "(path to the named orbax dir, e.g. workdir/bestAP)")
     p.add_argument("--assoc_weights", default=None)
-    p.add_argument("--depth", type=int, default=101, choices=(50, 101))
+    p.add_argument("--depth", type=int, default=101, choices=(26, 50, 101))
     p.add_argument("--num_classes", type=int, default=80)
     p.add_argument("--bf16", action="store_true", help="bf16 backbone/head compute (f32 params)")
     p.add_argument("--confidence", type=float, default=0.5)
     p.add_argument("--batch", type=int, default=4)
+    # Scale knobs for small-scale runs (synthetic MOTS e2e, CPU hosts).
+    p.add_argument("--min_size", type=int, default=None, help="override INPUT min_size_test")
+    p.add_argument("--max_size", type=int, default=None, help="override INPUT max_size_test")
+    p.add_argument("--proposal_topk", type=int, default=None,
+                   help="override RPN pre/post-NMS test top-k")
+    p.add_argument("--detections", type=int, default=None, help="override detections per image")
+    p.add_argument("--pixel_norm", choices=("caffe", "unit"), default="caffe",
+                   help="'unit' = mean 128 / std 64 (scratch-trained models)")
+    p.add_argument("--force_cpu", action="store_true")
     return p
 
 
@@ -50,19 +62,48 @@ def _build_tracker(args, orig_hw):
     from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
     from apse_uav_tpu.dcnn import weights as W
 
-    make = mask_rcnn_r50_fpn if args.depth == 50 else mask_rcnn_r101_fpn
+    make = mask_rcnn_r50_fpn if args.depth != 101 else mask_rcnn_r101_fpn
     cfg = make(num_classes=args.num_classes)
+    if args.depth == 26:
+        cfg = dataclasses.replace(cfg, depth=26)
     cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, score_thresh_test=args.confidence))
     if args.bf16:
         cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    inp = cfg.input
+    if args.min_size:
+        inp = dataclasses.replace(inp, min_size_test=args.min_size)
+    if args.max_size:
+        inp = dataclasses.replace(inp, max_size_test=args.max_size)
+    if args.pixel_norm == "unit":
+        inp = dataclasses.replace(inp, pixel_mean=(128.0,) * 3, pixel_std=(64.0,) * 3)
+    cfg = dataclasses.replace(cfg, input=inp)
+    if args.proposal_topk:
+        cfg = dataclasses.replace(cfg, rpn=dataclasses.replace(
+            cfg.rpn, pre_nms_topk_test=args.proposal_topk, post_nms_topk_test=args.proposal_topk))
+    if args.detections:
+        cfg = dataclasses.replace(cfg, roi=dataclasses.replace(
+            cfg.roi, detections_per_image=args.detections))
     model = MaskRCNN(cfg=cfg)
     params = jax.jit(
         lambda rng: model.init(rng, jnp.zeros((1, 64, 64, 3)), mode="inference")["params"]
     )(jax.random.PRNGKey(0))
-    flat = W.map_detectron2_weights(W.load_torch_file(args.weights), args.depth, cfg.mask_on)
-    params, missing, _ = W.load_into_params(params, flat)
-    if missing:
-        print(f"warning: {len(missing)} params left at init")
+    if args.checkpoint:
+        from apse_uav_tpu.train.checkpoint import load_state
+
+        state = load_state(os.path.dirname(args.checkpoint) or ".", os.path.basename(args.checkpoint))
+        if state is None:
+            raise SystemExit(f"checkpoint not found: {args.checkpoint}")
+        loaded = state["params"] if "params" in state else state
+        params, missing, _ = W.load_into_params(params, W.flatten(loaded))
+        if missing:
+            print(f"warning: {len(missing)} params left at init")
+    elif args.weights:
+        flat = W.map_detectron2_weights(W.load_torch_file(args.weights), args.depth, cfg.mask_on)
+        params, missing, _ = W.load_into_params(params, flat)
+        if missing:
+            print(f"warning: {len(missing)} params left at init")
+    else:
+        raise SystemExit("one of --weights / --checkpoint is required")
     tcfg = TrackerConfig()
     head = AssociationHead(embedding_dim=tcfg.embedding_dim)
     assoc_params = head.init(
@@ -163,6 +204,10 @@ def _run_capture(args, source, err) -> int:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.sequence:
         return run_sequence(args)
     if args.mots_evaluation:

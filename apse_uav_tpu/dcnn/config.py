@@ -18,9 +18,17 @@ import dataclasses
 class AnchorConfig:
     """Anchor generation (Base-RCNN-FPN.yaml:9-12)."""
 
-    sizes: tuple[float, ...] = (32.0, 64.0, 128.0, 256.0, 512.0)  # one per level
+    # One entry per RPN level.  FPN: one float per pyramid level; C4: a
+    # single entry that is itself a tuple (all sizes on the res4 level).
+    sizes: tuple = (32.0, 64.0, 128.0, 256.0, 512.0)
     aspect_ratios: tuple[float, ...] = (0.5, 1.0, 2.0)
     offset: float = 0.0
+
+    @property
+    def num_cell_anchors(self) -> int:
+        per_level = self.sizes[0]
+        n_sizes = len(per_level) if isinstance(per_level, tuple) else 1
+        return n_sizes * len(self.aspect_ratios)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +98,9 @@ class ModelConfig:
     depth: int = 50  # ResNet depth: 50 or 101
     mask_on: bool = True
     stride_in_1x1: bool = True  # caffe-style bottlenecks (model-zoo weights)
+    # "fpn" (Base-RCNN-FPN.yaml) or "c4" (Base-RCNN-C4.yaml: res4 backbone,
+    # single-level RPN, res5 ROI head).  models.build_model dispatches.
+    architecture: str = "fpn"
     fpn_channels: int = 256
     anchors: AnchorConfig = AnchorConfig()
     rpn: RPNConfig = RPNConfig()
@@ -115,6 +126,43 @@ def mask_rcnn_r101_fpn(num_classes: int = 80, **overrides) -> ModelConfig:
     cfg = ModelConfig(depth=101)
     cfg = dataclasses.replace(cfg, roi=dataclasses.replace(cfg.roi, num_classes=num_classes))
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def _c4_config(depth: int, num_classes: int, **overrides) -> ModelConfig:
+    """Base-RCNN-C4.yaml + mask_rcnn_R_{50,101}_C4_3x.yaml equivalents.
+
+    detectron2 C4 defaults: single-level RPN on res4 with all five anchor
+    sizes, PRE_NMS 12000/6000, POST 2000/1000 (Base-RCNN-C4.yaml:4-5 sets
+    the test pair), Res5ROIHeads with a 14x14 pooler and 14x14 masks."""
+    cfg = ModelConfig(depth=depth, architecture="c4")
+    cfg = dataclasses.replace(
+        cfg,
+        anchors=dataclasses.replace(cfg.anchors, sizes=((32.0, 64.0, 128.0, 256.0, 512.0),)),
+        rpn=dataclasses.replace(
+            cfg.rpn,
+            pre_nms_topk_train=12000,
+            pre_nms_topk_test=6000,
+            post_nms_topk_train=2000,
+            post_nms_topk_test=1000,
+        ),
+        roi=dataclasses.replace(
+            cfg.roi,
+            num_classes=num_classes,
+            box_pooler_resolution=14,
+            mask_pooler_resolution=7,  # C4 masks are 14x14 = 2 * 7
+        ),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def mask_rcnn_r50_c4(num_classes: int = 80, **overrides) -> ModelConfig:
+    """mask_rcnn_R_50_C4_3x.yaml equivalent."""
+    return _c4_config(50, num_classes, **overrides)
+
+
+def mask_rcnn_r101_c4(num_classes: int = 80, **overrides) -> ModelConfig:
+    """mask_rcnn_R_101_C4_3x.yaml equivalent."""
+    return _c4_config(101, num_classes, **overrides)
 
 
 def uav_tracker_config(num_classes: int = 4) -> ModelConfig:

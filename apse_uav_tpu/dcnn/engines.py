@@ -22,6 +22,7 @@ import numpy as np
 
 from apse_uav_tpu.dcnn.config import ModelConfig, TrackerConfig
 from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+from apse_uav_tpu.dcnn.models.c4 import build_model
 from apse_uav_tpu.dcnn import structures, tracker as tracker_mod
 
 Array = jax.Array
@@ -48,7 +49,7 @@ class TrackPredictor:
         (self.pad_hw, self.net_hw) = resize_target(
             self.orig_hw, cfg.input.min_size_test, cfg.input.max_size_test, cfg.input.pad_divisibility
         )
-        self.model = MaskRCNN(cfg=cfg)
+        self.model = build_model(cfg)
         self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, params, frames_u8: Array):

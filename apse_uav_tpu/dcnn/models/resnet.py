@@ -94,15 +94,20 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Returns {"res2": (B,H/4,W/4,256), ..., "res5": (B,H/32,W/32,2048)}."""
+    """Returns {"res2": (B,H/4,W/4,256), ..., "res5": (B,H/32,W/32,2048)}.
+
+    ``max_stage`` truncates the trunk: the C4 backbone
+    (Base-RCNN-C4.yaml) ends at res4 and runs res5 inside the ROI head
+    (:class:`Res5Stage`)."""
 
     depth: int = 50
     stride_in_1x1: bool = True
     dtype: Any = jnp.float32
+    max_stage: int = 5
 
     @nn.compact
     def __call__(self, x: Array) -> dict[str, Array]:
-        blocks = _STAGE_BLOCKS[self.depth]
+        blocks = _STAGE_BLOCKS[self.depth][: self.max_stage - 1]
         x = x.astype(self.dtype)
         # Stem: 7x7/2 + 3x3/2 maxpool (torch pads maxpool by 1).
         x = _conv(64, 7, 2, self.dtype, "stem_conv")(x)
@@ -129,6 +134,33 @@ class ResNet(nn.Module):
             outs[f"res{stage + 2}"] = x
         del in_ch
         return outs
+
+
+class Res5Stage(nn.Module):
+    """The res5 bottleneck stage as a standalone module — the C4 ROI head's
+    shared transform (detectron2 Res5ROIHeads._shared_roi_transform): pooled
+    (N, 14, 14, 1024) ROI features -> (N, 7, 7, 2048) via the stride-2 first
+    block.  Param names match ResNet's res5_{i} blocks so weight mapping is
+    uniform."""
+
+    depth: int = 50
+    stride_in_1x1: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        n_blocks = _STAGE_BLOCKS[self.depth][3]
+        for b in range(n_blocks):
+            x = Bottleneck(
+                out_channels=2048,
+                bottleneck_channels=512,
+                stride=2 if b == 0 else 1,
+                stride_in_1x1=self.stride_in_1x1,
+                has_shortcut=(b == 0),
+                dtype=self.dtype,
+                name=f"res5_{b}",
+            )(x)
+        return x
 
 
 class FPN(nn.Module):

@@ -22,21 +22,29 @@ from apse_uav_tpu.dcnn.ops.nms import nms_mask
 
 Array = jax.Array
 
-LEVEL_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64}
+LEVEL_STRIDES = {"p2": 4, "p3": 8, "p4": 16, "p5": 32, "p6": 64,
+                 # C4 backbone: the RPN runs on the single res4 map
+                 # (Base-RCNN-C4.yaml; detectron2 ResNet feature stride 16).
+                 "res4": 16}
 
 
-def cell_anchors(size: float, aspect_ratios: Sequence[float]):
-    """(A, 4) base anchors centered at the origin (detectron2 ordering).
+def cell_anchors(size, aspect_ratios: Sequence[float]):
+    """(A, 4) base anchors centered at the origin (detectron2 ordering:
+    sizes outer, aspect ratios inner — generate_cell_anchors).
 
-    Pure numpy so anchor tables are host constants, never traced values."""
+    ``size`` is one float (FPN: one size per level) or a tuple of floats
+    (C4: all sizes on the single level).  Pure numpy so anchor tables are
+    host constants, never traced values."""
     import numpy as np
 
+    sizes = size if isinstance(size, (tuple, list)) else (size,)
     out = []
-    area = size * size
-    for r in aspect_ratios:
-        w = (area / r) ** 0.5
-        h = w * r
-        out.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
+    for s in sizes:
+        area = s * s
+        for r in aspect_ratios:
+            w = (area / r) ** 0.5
+            h = w * r
+            out.append([-w / 2.0, -h / 2.0, w / 2.0, h / 2.0])
     return np.asarray(out, np.float32)
 
 

@@ -139,6 +139,62 @@ def map_detectron2_weights(src: dict[str, np.ndarray], depth: int, mask_on: bool
     return out
 
 
+def map_detectron2_weights_c4(src: dict[str, np.ndarray], depth: int, mask_on: bool = True) -> Tree:
+    """Map detectron2 C4 GeneralizedRCNN weights (Base-RCNN-C4.yaml models:
+    res4 backbone + Res5ROIHeads) to flat flax paths for
+    :class:`~apse_uav_tpu.dcnn.models.c4.MaskRCNNC4`."""
+    out: Tree = {}
+    bb = "backbone"
+    if f"{bb}.stem.conv1.weight" not in src and "stem.conv1.weight" in src:
+        bb = ""
+
+    def b(name):
+        return f"{bb}.{name}" if bb else name
+
+    out["backbone/stem_conv/kernel"] = _conv(src[b("stem.conv1.weight")])
+    _bn(out, "backbone/stem_bn", src, b("stem.conv1.norm"))
+    for stage, n_blocks in enumerate(_STAGE_BLOCKS[depth][:3]):  # res2..res4
+        for i in range(n_blocks):
+            sp = b(f"res{stage + 2}.{i}")
+            dp = f"backbone/res{stage + 2}_{i}"
+            for c in (1, 2, 3):
+                out[f"{dp}/conv{c}/kernel"] = _conv(src[f"{sp}.conv{c}.weight"])
+                _bn(out, f"{dp}/bn{c}", src, f"{sp}.conv{c}.norm")
+            if f"{sp}.shortcut.weight" in src:
+                out[f"{dp}/shortcut/kernel"] = _conv(src[f"{sp}.shortcut.weight"])
+                _bn(out, f"{dp}/shortcut_bn", src, f"{sp}.shortcut.norm")
+    # res5 lives in the ROI heads (Res5ROIHeads).
+    for i in range(_STAGE_BLOCKS[depth][3]):
+        sp = f"roi_heads.res5.{i}"
+        dp = f"res5/res5_{i}"
+        for c in (1, 2, 3):
+            out[f"{dp}/conv{c}/kernel"] = _conv(src[f"{sp}.conv{c}.weight"])
+            _bn(out, f"{dp}/bn{c}", src, f"{sp}.conv{c}.norm")
+        if f"{sp}.shortcut.weight" in src:
+            out[f"{dp}/shortcut/kernel"] = _conv(src[f"{sp}.shortcut.weight"])
+            _bn(out, f"{dp}/shortcut_bn", src, f"{sp}.shortcut.norm")
+    rpn_map = {
+        "conv": "proposal_generator.rpn_head.conv",
+        "objectness": "proposal_generator.rpn_head.objectness_logits",
+        "deltas": "proposal_generator.rpn_head.anchor_deltas",
+    }
+    for dst_name, src_name in rpn_map.items():
+        if f"{src_name}.weight" in src:
+            out[f"rpn_head/{dst_name}/kernel"] = _conv(src[f"{src_name}.weight"])
+            out[f"rpn_head/{dst_name}/bias"] = src[f"{src_name}.bias"]
+    for name in ("cls_score", "bbox_pred"):
+        key = f"roi_heads.box_predictor.{name}"
+        if f"{key}.weight" in src:
+            out[f"box_predictor/{name}/kernel"] = _fc(src[f"{key}.weight"])
+            out[f"box_predictor/{name}/bias"] = src[f"{key}.bias"]
+    if mask_on and "roi_heads.mask_head.deconv.weight" in src:
+        out["mask_head/deconv/kernel"] = _deconv(src["roi_heads.mask_head.deconv.weight"])
+        out["mask_head/deconv/bias"] = src["roi_heads.mask_head.deconv.bias"]
+        out["mask_head/predictor/kernel"] = _conv(src["roi_heads.mask_head.predictor.weight"])
+        out["mask_head/predictor/bias"] = src["roi_heads.mask_head.predictor.bias"]
+    return out
+
+
 def unflatten(flat: Tree) -> Tree:
     """{'a/b/c': x} -> nested {'a': {'b': {'c': x}}}."""
     tree: Tree = {}

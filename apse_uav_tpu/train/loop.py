@@ -23,6 +23,7 @@ import optax
 
 from apse_uav_tpu.dcnn.config import ModelConfig
 from apse_uav_tpu.dcnn.models.association import AssociationHead
+from apse_uav_tpu.dcnn.models.c4 import build_model
 from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
 from apse_uav_tpu.evaluation.coco_eval import CocoEvaluator
 from apse_uav_tpu.train import checkpoint as ckpt
@@ -83,7 +84,7 @@ def finetune_detector(
     log_fn: Callable[[str], None] = print,
 ) -> Any:
     """Returns final params.  Checkpoints + results.txt land in ``workdir``."""
-    model = MaskRCNN(cfg=model_cfg)
+    model = build_model(model_cfg)
     it = iter(train_batches)
     images0, gt0 = next(it)
     if init_params is None:
