@@ -66,6 +66,11 @@ class ArucoPipelineConfig:
     # of candidates (see aruco.patch_select); candidates beyond it are
     # deterministically invalidated.
     sel_tile_budget: int = 256
+    # Source pooling backend for the two-pass front: the fused Pallas
+    # kernel (preproc/pallas_pool.py, one read + one small write,
+    # bit-identical) or the XLA op chain.  Pallas requires the Pallas
+    # preprocessor's packed form.
+    pallas_pool: bool = False
 
     @property
     def diff_max(self) -> float:
@@ -242,9 +247,17 @@ class ArucoPipeline:
             # layout, no planar intermediate) and the selected-tile second
             # pass reuses the full-res pack.
             packed = self.pre.pack(frames)
-            pooled_packed = twopass.pool_packed_to_packed(
-                packed, self.pre.dims, h, w, self.pre_pooled.dims
-            )
+            if self.cfg.pallas_pool:
+                from apse_uav_tpu.preproc.pallas_pool import pool_packed_to_packed_pallas
+
+                pooled_packed = pool_packed_to_packed_pallas(
+                    packed, self.pre.dims, h, w, self.pre_pooled.dims,
+                    interpret=self.detector.params.pallas_interpret,
+                )
+            else:
+                pooled_packed = twopass.pool_packed_to_packed(
+                    packed, self.pre.dims, h, w, self.pre_pooled.dims
+                )
             _, pooled_gray = self.pre_pooled.from_packed(pooled_packed)
         else:
             pooled_src = twopass.pool_source_u8(frames, st, self._pooled_hw)

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_classes", type=int, default=80)
     p.add_argument("--bf16", action="store_true", help="bf16 backbone/head compute (f32 params)")
     p.add_argument("--confidence", type=float, default=0.5)
+    p.add_argument("--association", default=None,
+                   choices=("embeddings", "bbox_center_dist", "mask_iou"),
+                   help="association metric (rcnn_tracker.py:79-147)")
     p.add_argument("--batch", type=int, default=4)
     # Scale knobs for small-scale runs (synthetic MOTS e2e, CPU hosts).
     p.add_argument("--min_size", type=int, default=None, help="override INPUT min_size_test")
@@ -105,6 +108,8 @@ def _build_tracker(args, orig_hw):
     else:
         raise SystemExit("one of --weights / --checkpoint is required")
     tcfg = TrackerConfig()
+    if args.association:
+        tcfg = dataclasses.replace(tcfg, association_metric=args.association)
     head = AssociationHead(embedding_dim=tcfg.embedding_dim)
     assoc_params = head.init(
         jax.random.PRNGKey(1), jnp.zeros((1, cfg.fpn_channels, tcfg.roi_size, tcfg.roi_size))

@@ -107,6 +107,16 @@ def main():
 
     variants["flat4d"] = flat4d
 
+    from apse_uav_tpu.preproc.pallas_pool import pool_packed_to_packed_pallas
+
+    variants["pallas"] = lambda pk: pool_packed_to_packed_pallas(
+        pk, dims, h, w, pdims
+    ).sum(dtype=jnp.int32)
+    real = jax.jit(lambda pk: twopass.pool_packed_to_packed(pk, dims, h, w, pdims))(packed)
+    pal = jax.jit(lambda pk: pool_packed_to_packed_pallas(pk, dims, h, w, pdims))(packed)
+    np.testing.assert_array_equal(np.asarray(real), np.asarray(pal))
+    print("pallas parity OK (on device)")
+
     for name, fn in variants.items():
         @jax.jit
         def step(fr, fn=fn):
