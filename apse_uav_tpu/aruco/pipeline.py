@@ -71,6 +71,10 @@ class ArucoPipelineConfig:
     # bit-identical) or the XLA op chain.  Pallas requires the Pallas
     # preprocessor's packed form.
     pallas_pool: bool = False
+    # lax.scan unroll for the temporal state machine: the per-step body is
+    # ~100 tiny 4-vehicle vector ops, pure dispatch latency on TPU;
+    # unrolling lets XLA fuse across steps.  1 = rolled.
+    scan_unroll: int = 1
 
     @property
     def diff_max(self) -> float:
@@ -534,7 +538,8 @@ class ArucoPipeline:
             }
             return new_carry, out
 
-        return jax.lax.scan(step, carry, (front, first_frame, centroid_rows))
+        return jax.lax.scan(step, carry, (front, first_frame, centroid_rows),
+                            unroll=cfg.scan_unroll)
 
     def process(self, frames: Array, carry: dict, first: bool = False, centroid_rows: Array | None = None):
         """Convenience: front + scan for a batch of frames."""

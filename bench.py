@@ -50,7 +50,12 @@ def main() -> None:
         mtx = np.array([[0.77 * w, 0.0, w / 2], [0.0, 0.77 * w, h / 2], [0.0, 0.0, 1.0]])
         dist = np.array([0.11, -0.28, 1.1e-4, -2.5e-4, 0.15])
 
-    cfg = ArucoPipelineConfig(use_pallas_preproc=on_tpu)
+    # A/B env overrides (default = the shipped configuration).
+    cfg = ArucoPipelineConfig(
+        use_pallas_preproc=on_tpu,
+        pallas_pool=bool(int(os.environ.get("APSE_BENCH_PALLAS_POOL", "0"))) and on_tpu,
+        scan_unroll=int(os.environ.get("APSE_BENCH_UNROLL", "1")),
+    )
     pipe = ArucoPipeline(mtx, dist, size_wh, cfg)
 
     # Frames are RENDERED 4-marker scenes, not noise: the two-pass preproc's

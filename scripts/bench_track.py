@@ -138,6 +138,53 @@ def main():
             return fr + ((boxes.sum() + scores.sum()).astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
         report("rpn (cum)", timed(s_rpn, frames))
 
+    if "roipool" in stages or "boxhead" in stages or "boxinf" in stages:
+        from apse_uav_tpu.dcnn.models.mask_rcnn import RPN_LEVELS
+        from apse_uav_tpu.dcnn.models import roi_heads as RH
+        from apse_uav_tpu.dcnn.models.rpn import select_proposals
+
+        def _roi_chain(fr, stop):
+            x = _prep(fr)
+
+            def run(m, im):
+                feats = m.backbone(m._normalize(im))
+                rpn_feats = {n: feats[n] for n in RPN_LEVELS}
+                logits, deltas = m.rpn_head(rpn_feats)
+                level_shapes = {n: tuple(rpn_feats[n].shape[1:3]) for n in RPN_LEVELS}
+                image_hw = tuple(im.shape[1:3])
+
+                def per_image(logits_i, deltas_i, feats_i):
+                    boxes, scores, valid = select_proposals(
+                        logits_i, deltas_i, level_shapes, image_hw,
+                        m.cfg.anchors, m.cfg.rpn, training=False,
+                    )
+                    pooled = RH.fpn_roi_align(
+                        feats_i, boxes, m.cfg.roi.box_pooler_resolution,
+                        m.cfg.roi.pooler_sampling_ratio,
+                    )
+                    if stop == "roipool":
+                        return pooled.sum()
+                    cls_logits, box_deltas = m.box_head(pooled)
+                    if stop == "boxhead":
+                        return cls_logits.sum() + box_deltas.sum()
+                    det = RH.box_inference(cls_logits, box_deltas, boxes, valid, image_hw, m.cfg.roi)
+                    return det["boxes"].sum() + det["scores"].sum()
+
+                pool_feats = {n: feats[n] for n in RH.POOL_LEVELS}
+                return jax.vmap(per_image)(logits, deltas, pool_feats)
+
+            return model.apply({"params": params}, x, method=run)
+
+        for stop in ("roipool", "boxhead", "boxinf"):
+            if stop not in stages:
+                continue
+
+            @jax.jit
+            def s_roi(fr, stop=stop):
+                v = _roi_chain(fr, stop)
+                return fr + (v.sum().astype(jnp.int32).astype(jnp.uint8) | jnp.uint8(1))
+            report(f"{stop}(cum)", timed(s_roi, frames))
+
     if "nomask" in stages:
         cfg_nm = dataclasses.replace(cfg, mask_on=False)
         pred_nm = TrackPredictor(cfg_nm, {k: v for k, v in params.items() if k != "mask_head"}, orig_hw)
