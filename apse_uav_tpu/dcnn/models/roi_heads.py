@@ -37,24 +37,19 @@ def assign_boxes_to_levels(boxes: Array) -> Array:
     return (jnp.clip(lvl, 2, 5) - 2).astype(jnp.int32)
 
 
-def fpn_roi_align(
+def fpn_roi_align_dense(
     feats: dict[str, Array],
     boxes: Array,
     resolution: int,
     sampling_ratio: int,
 ) -> Array:
-    """Multi-level ROIAlign (ROIAlignV2/aligned) for ONE image.
-
-    feats[p*] (H, W, C); boxes (N, 4).  Pools every box on every level and
-    selects by the level assignment — static shapes; the 4x pooling overhead
-    is far cheaper on TPU than a data-dependent partition.
-    """
+    """Reference formulation (kept as the parity oracle for
+    :func:`fpn_roi_align`): pool every box on every level, select by the
+    level assignment."""
     lvl = assign_boxes_to_levels(boxes)
     pooled = []
     for i, name in enumerate(POOL_LEVELS):
         scale = 1.0 / (4 * 2**i)
-        # bf16 gathers halve the dominant memory traffic; the interpolation
-        # arithmetic stays f32 via preferred accumulation in the head.
         pooled.append(
             roi_align_hwc(
                 feats[name].astype(jnp.bfloat16), boxes, resolution, scale, sampling_ratio, aligned=True
@@ -62,6 +57,84 @@ def fpn_roi_align(
         )
     stacked = jnp.stack(pooled, axis=0)  # (4, N, C, R, R)
     return jnp.take_along_axis(stacked, lvl[None, :, None, None, None], axis=0)[0]
+
+
+def fpn_roi_align(
+    feats: dict[str, Array],
+    boxes: Array,
+    resolution: int,
+    sampling_ratio: int,
+) -> Array:
+    """Multi-level ROIAlign (ROIAlignV2/aligned) for ONE image, single pass.
+
+    feats[p*] (H, W, C); boxes (N, 4) -> (N, C, R, R).  The levels are
+    concatenated into ONE flat (sum HW, C) bf16 row buffer and each box
+    gathers only from its ASSIGNED level via a per-box base offset — the
+    same per-level arithmetic as detectron2's pooler, at 1/4 the gather
+    volume of pool-on-every-level-and-select (and without the (4, N, C,
+    R, R) stack + cross-level select).  bf16 rows halve the dominant
+    gather traffic; the weighted combine accumulates in f32.
+    """
+    import numpy as np
+
+    lvl = assign_boxes_to_levels(boxes)
+    c = feats[POOL_LEVELS[0]].shape[-1]
+    level_hw = [feats[n].shape[:2] for n in POOL_LEVELS]
+    sizes = [h * w for h, w in level_hw]
+    flat = jnp.concatenate(
+        [feats[n].astype(jnp.bfloat16).reshape(-1, c) for n in POOL_LEVELS], axis=0
+    )
+    hs = jnp.asarray([h for h, _ in level_hw], jnp.float32)
+    ws = jnp.asarray([w for _, w in level_hw], jnp.float32)
+    wis = jnp.asarray([w for _, w in level_hw], jnp.int32)
+    bases = jnp.asarray(np.cumsum([0] + sizes[:-1]), jnp.int32)
+    scales = jnp.asarray([1.0 / (4 * 2**i) for i in range(len(POOL_LEVELS))], jnp.float32)
+    s = max(int(sampling_ratio), 1)
+    r = resolution
+    offset = 0.5  # ROIAlignV2 / aligned=True
+
+    def one(box, li):
+        h = hs[li]
+        w = ws[li]
+        wi = wis[li]
+        base = bases[li]
+        sc = scales[li]
+        x1 = box[0] * sc - offset
+        y1 = box[1] * sc - offset
+        rw = (box[2] - box[0]) * sc
+        rh = (box[3] - box[1]) * sc
+        grid = (jnp.arange(r)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s).reshape(-1)
+        ys = y1 + grid * (rh / r)  # (r*s,)
+        xs = x1 + grid * (rw / r)
+        yy = jnp.repeat(ys, r * s)
+        xx = jnp.tile(xs, r * s)
+        oor = (yy < -1.0) | (yy > h) | (xx < -1.0) | (xx > w)
+        y = jnp.clip(yy, 0.0, h - 1.0)
+        x = jnp.clip(xx, 0.0, w - 1.0)
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        y1f = jnp.minimum(y0 + 1, h - 1.0)
+        x1f = jnp.minimum(x0 + 1, w - 1.0)
+        ly = y - y0
+        lx = x - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        y1i = y1f.astype(jnp.int32)
+        x1i = x1f.astype(jnp.int32)
+        p00 = jnp.take(flat, base + y0i * wi + x0i, axis=0)
+        p01 = jnp.take(flat, base + y0i * wi + x1i, axis=0)
+        p10 = jnp.take(flat, base + y1i * wi + x0i, axis=0)
+        p11 = jnp.take(flat, base + y1i * wi + x1i, axis=0)
+        w00 = (1 - ly) * (1 - lx)
+        w01 = (1 - ly) * lx
+        w10 = ly * (1 - lx)
+        w11 = ly * lx
+        val = p00 * w00[:, None] + p01 * w01[:, None] + p10 * w10[:, None] + p11 * w11[:, None]
+        val = jnp.where(oor[:, None], 0.0, val)
+        vals = val.reshape(r, s, r, s, c).mean(axis=(1, 3))
+        return jnp.transpose(vals, (2, 0, 1))
+
+    return jax.vmap(one)(boxes, lvl).astype(jnp.float32)
 
 
 class BoxHead(nn.Module):

@@ -187,3 +187,37 @@ def test_roi_pool_matches_oracle():
     got = np.asarray(roi_pool(jnp.asarray(feat), jnp.asarray(boxes), 7, 0.125))
     want = _roi_pool_np(feat, boxes, 7, 0.125)
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fpn_roi_align_flat_matches_dense():
+    """Single-pass (flat-buffer) multi-level ROIAlign == pool-everywhere +
+    select, over boxes spanning all four FPN levels."""
+    import jax.numpy as jnp
+
+    from apse_uav_tpu.dcnn.models.roi_heads import fpn_roi_align, fpn_roi_align_dense
+
+    rng = np.random.default_rng(11)
+    c = 16
+    feats = {}
+    h0, w0 = 64, 96
+    for i, name in enumerate(("p2", "p3", "p4", "p5")):
+        feats[name] = jnp.asarray(
+            rng.normal(size=(h0 >> i, w0 >> i, c)), jnp.float32
+        )
+    # Box sqrt-areas ~ 20 / 90 / 250 / 500 px -> levels p2..p5; plus a
+    # degenerate box and one clipping past the image edge.
+    boxes = jnp.asarray(
+        [
+            [10.0, 12.0, 30.0, 32.0],
+            [5.0, 5.0, 95.0, 90.0],
+            [0.0, 0.0, 250.0, 250.0],
+            [-20.0, -20.0, 500.0, 480.0],
+            [40.0, 40.0, 40.0, 40.0],
+            [350.0, 200.0, 420.0, 260.0],
+        ],
+        jnp.float32,
+    )
+    for res, ratio in ((7, 1), (14, 2)):
+        got = fpn_roi_align(feats, boxes, res, ratio)
+        want = fpn_roi_align_dense(feats, boxes, res, ratio)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
