@@ -108,6 +108,13 @@ class ModelConfig:
     input: InputConfig = InputConfig()
     # Numerics: convs/matmuls run in this dtype (params stay f32).
     compute_dtype: str = "float32"
+    # Head (RPN/box/mask) compute dtype; "" = follow compute_dtype.  The
+    # FLOP mass is the backbone, so "bfloat16" compute with
+    # head_compute_dtype="float32" keeps nearly all of the bf16 speed while
+    # the small, numerically sensitive heads train in f32 (the all-bf16
+    # regime missed the scratch-training AP50 bar; see
+    # tests/test_learning_regression.py).
+    head_compute_dtype: str = ""
 
     @property
     def num_levels(self) -> int:

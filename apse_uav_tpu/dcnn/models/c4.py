@@ -63,12 +63,15 @@ class MaskRCNNC4(nn.Module):
     def setup(self):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
+        head_dtype = jnp.dtype(cfg.head_compute_dtype or cfg.compute_dtype)
         self.backbone = ResNet(
             depth=cfg.depth, stride_in_1x1=cfg.stride_in_1x1, dtype=dtype, max_stage=4
         )
         self.rpn_head = RPNHead(
-            num_anchors=cfg.anchors.num_cell_anchors, channels=1024, dtype=dtype
+            num_anchors=cfg.anchors.num_cell_anchors, channels=1024, dtype=head_dtype
         )
+        # res5 is the backbone's last stage living in the ROI head: it
+        # follows the BACKBONE dtype.
         self.res5 = Res5Stage(depth=cfg.depth, stride_in_1x1=cfg.stride_in_1x1, dtype=dtype)
         self.box_predictor = C4BoxPredictor(num_classes=cfg.roi.num_classes)
         if cfg.mask_on:
@@ -78,7 +81,7 @@ class MaskRCNNC4(nn.Module):
                 num_classes=cfg.roi.num_classes,
                 conv_dim=cfg.roi.mask_conv_dim,
                 num_conv=0,
-                dtype=dtype,
+                dtype=head_dtype,
             )
 
     def _normalize(self, images: Array) -> Array:

@@ -45,6 +45,7 @@ class MaskRCNN(nn.Module):
 
     def setup(self):
         dtype = jnp.dtype(self.cfg.compute_dtype)
+        head_dtype = jnp.dtype(self.cfg.head_compute_dtype or self.cfg.compute_dtype)
         self.backbone = ResNetFPN(
             depth=self.cfg.depth,
             channels=self.cfg.fpn_channels,
@@ -52,19 +53,19 @@ class MaskRCNN(nn.Module):
             dtype=dtype,
         )
         num_anchors = len(self.cfg.anchors.aspect_ratios)
-        self.rpn_head = RPNHead(num_anchors=num_anchors, channels=self.cfg.fpn_channels, dtype=dtype)
+        self.rpn_head = RPNHead(num_anchors=num_anchors, channels=self.cfg.fpn_channels, dtype=head_dtype)
         self.box_head = BoxHead(
             num_classes=self.cfg.roi.num_classes,
             fc_dim=self.cfg.roi.box_fc_dim,
             num_fc=self.cfg.roi.num_box_fc,
-            dtype=dtype,
+            dtype=head_dtype,
         )
         if self.cfg.mask_on:
             self.mask_head = MaskHead(
                 num_classes=self.cfg.roi.num_classes,
                 conv_dim=self.cfg.roi.mask_conv_dim,
                 num_conv=self.cfg.roi.num_mask_conv,
-                dtype=dtype,
+                dtype=head_dtype,
             )
 
     def _normalize(self, images: Array) -> Array:

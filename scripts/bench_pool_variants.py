@@ -73,8 +73,9 @@ def main():
     def repack_of(byte):
         bf = byte.astype(jnp.float32)
         hp = jax.lax.Precision.HIGHEST
-        lo = jax.lax.dot_general(bf, p_lo_j, (((4,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=hp)
-        hi = jax.lax.dot_general(bf, p_hi_j, (((4,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=hp)
+        cax = bf.ndim - 1
+        lo = jax.lax.dot_general(bf, p_lo_j, (((cax,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=hp)
+        hi = jax.lax.dot_general(bf, p_hi_j, (((cax,), (0,)), ((), ())), preferred_element_type=jnp.float32, precision=hp)
         return lo.astype(jnp.int32) + (hi.astype(jnp.int32) << 16)
 
     def tail_of(pp):

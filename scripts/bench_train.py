@@ -102,9 +102,11 @@ def main():
         timed_steps(True, "frozen-backbone")
     if "full" in stages:
         timed_steps(False, "full")
-    # bf16 training compute (f32 master params; the model casts everything
-    # the losses consume back to f32 — mask_rcnn.losses).
-    model16 = MaskRCNN(cfg=dataclasses.replace(cfg, compute_dtype="bfloat16"))
+    # bf16 training compute: the SHIPPED regime (backbone bf16, heads f32,
+    # f32 master params, f32 loss-boundary casts — mask_rcnn.losses;
+    # all-bf16 heads missed the learning-regression AP50 bar).
+    model16 = MaskRCNN(cfg=dataclasses.replace(
+        cfg, compute_dtype="bfloat16", head_compute_dtype="float32"))
     if "frozen16" in stages:
         timed_steps(True, "frozen-backbone bf16", use_model=model16)
     if "full16" in stages:

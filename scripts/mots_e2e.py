@@ -30,7 +30,7 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-H = W = 160
+H = W = 128
 N_FRAMES = 16
 SMOTSA_FLOOR = 0.4
 
@@ -111,9 +111,9 @@ def make_sequence(workdir: str):
     os.makedirs(gt_dir, exist_ok=True)
     rng = np.random.default_rng(77)
     objs = [  # (track, cls, size, x0, y0, dx, dy)
-        (1, 0, 32, 8, 16, 6, 1),
-        (2, 0, 36, 112, 104, -5, 1),
-        (3, 1, 34, 14, 110, 5, -2),
+        (1, 0, 32, 6, 10, 5, 1),
+        (2, 0, 36, 86, 76, -5, 1),
+        (3, 1, 30, 10, 84, 5, -2),
     ]
     for k in range(N_FRAMES):
         img = _texture(rng)
@@ -135,7 +135,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/mots_e2e")
     ap.add_argument("--out", default=os.path.join(REPO, "MOTS_r05.json"))
-    ap.add_argument("--max_iter", type=int, default=200)
+    ap.add_argument("--max_iter", type=int, default=120)
     args = ap.parse_args()
 
     import jax

@@ -112,3 +112,34 @@ def test_detector_learns_to_ap50(tmp_path):
     )
     stats = evaluate_detector(MaskRCNN(cfg=cfg), params, eval_batches)
     assert stats["AP50"] >= 0.7, stats
+
+
+def test_detector_learns_to_ap50_bf16(tmp_path):
+    """The SHIPPED bf16 training regime (backbone compute bf16, heads f32,
+    f32 master params, f32 loss-boundary casts) reaches the same AP50 bar.
+
+    The budget is larger than the f32 gate's: bf16-quantized features from
+    the RANDOM backbone (this harness trains from scratch; the reference
+    regime starts from pretrained weights) slow early RPN convergence —
+    measured AP 0.07/0.46/0.47 at 100/200/400 iters vs the f32 bar inside
+    150.  The claim pinned here is "the bf16 regime learns to the same
+    bar", not "on the same schedule"."""
+    from apse_uav_tpu.train.loop import evaluate_detector, finetune_detector
+    from apse_uav_tpu.dcnn.models.mask_rcnn import MaskRCNN
+
+    cfg = dataclasses.replace(_cfg(), compute_dtype="bfloat16",
+                              head_compute_dtype="float32")
+    eval_batches = [next(_scene_batches(seed=1000 + i)) for i in range(4)]
+    params = finetune_detector(
+        cfg,
+        _scene_batches(seed=0),
+        lambda: eval_batches,
+        str(tmp_path),
+        max_iter=400,
+        test_period=400,
+        lr=0.005,
+        seed=0,
+        log_fn=lambda s: None,
+    )
+    stats = evaluate_detector(MaskRCNN(cfg=cfg), params, eval_batches)
+    assert stats["AP50"] >= 0.7, stats
