@@ -134,6 +134,47 @@ def _solve_pnp_planar_two(
         return _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters)
 
 
+def _solve_spd6(a: Array, b: Array) -> Array:
+    """Solve the 6x6 SPD system ``a @ x = b`` by fully unrolled Cholesky.
+
+    ``jnp.linalg.solve`` lowers to a pivoted LU custom call whose internal
+    while-loops are pure latency for a 6x6 system inside a vmapped GN step;
+    the damped normal matrix is SPD by construction, so an unrolled
+    Cholesky + two unrolled triangular substitutions compile to one fused
+    chain of elementwise/vector ops instead.
+    """
+    n = 6
+    # Cholesky factor rows as a list of scalars (static indexing -> no
+    # gathers; everything stays fusible elementwise math under vmap).
+    low = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = a[j, j]
+        for k in range(j):
+            d = d - low[j][k] * low[j][k]
+        dj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        low[j][j] = dj
+        for i in range(j + 1, n):
+            s = a[i, j]
+            for k in range(j):
+                s = s - low[i][k] * low[j][k]
+            low[i][j] = s / dj
+    # Forward substitution: L y = b.
+    y = [None] * n
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - low[i][k] * y[k]
+        y[i] = s / low[i][i]
+    # Back substitution: L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - low[k][i] * x[k]
+        x[i] = s / low[i][i]
+    return jnp.stack(x)
+
+
 def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
     dist14 = camera.pad_dist_coeffs(dist)
     xy_norm = camera.undistort_points(img_pts, mtx, dist, num_iters=5)
@@ -149,7 +190,7 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
         jtj = jac.T @ jac
         jtr = jac.T @ r
         damped = jtj + 1e-6 * jnp.eye(6) * jnp.maximum(jnp.trace(jtj) / 6.0, 1e-6)
-        step = jnp.linalg.solve(damped, jtr)
+        step = _solve_spd6(damped, jtr)
         # Guard against non-finite steps (degenerate quads).
         step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros(6))
         return params - step
@@ -184,9 +225,13 @@ def _solve_pnp_planar_two_impl(obj_pts, img_pts, mtx, dist, num_iters):
     both0 = jnp.stack(
         [jnp.concatenate([rvec0, tvec0]), jnp.concatenate([rvec_b0, tvec0])]
     )
-    both = jax.lax.fori_loop(
-        0, num_iters, lambda i, p: jax.vmap(lambda pp: gn_step(i, pp))(p), both0
-    )
+    # Unrolled: num_iters is a small static constant and the rolled
+    # fori_loop is a serial chain of tiny dispatches (each GN step's whole
+    # working set is a handful of 8x6 matrices under vmap) — unrolling lets
+    # XLA fuse across steps.
+    both = both0
+    for i in range(num_iters):
+        both = jax.vmap(lambda pp, _i=i: gn_step(_i, pp))(both)
     params_a, params_b = both[0], both[1]
 
     err_a = jnp.sum(residual(params_a) ** 2)

@@ -155,7 +155,14 @@ def undistort_normalized(xy_dist: Array, dist: Array, num_iters: int = 5) -> Arr
         y_new = (xy0[..., 1] - dy) * icdist
         return jnp.stack([x_new, y_new], axis=-1)
 
-    return jax.lax.fori_loop(0, num_iters, body, xy0)
+    # Unrolled: num_iters is always a small static constant (cv2 runs 5) and
+    # a rolled fori_loop lowers to a serial while chain of tiny kernels —
+    # pure dispatch latency inside the vmapped pose solver.  Unrolling lets
+    # XLA fuse the whole fixed-point chain into one elementwise kernel.
+    xy = xy0
+    for i in range(num_iters):
+        xy = body(i, xy)
+    return xy
 
 
 def pixels_to_normalized(uv: Array, mtx: Array) -> Array:
