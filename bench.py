@@ -33,7 +33,7 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        size_wh, batch, iters = (3840, 2160), 8, 16
+        size_wh, batch, iters = (3840, 2160), int(os.environ.get("APSE_BENCH_BATCH", "8")), 16
     else:  # small shapes so the bench still runs in CI
         size_wh, batch, iters = (1280, 736), 2, 2
 
