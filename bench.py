@@ -33,7 +33,12 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        size_wh, batch, iters = (3840, 2160), int(os.environ.get("APSE_BENCH_BATCH", "8")), 16
+        # Batch 16 default (round 5): throughput batching over streamed
+        # frames amortizes per-dispatch overhead — 495.5 fps at batch 8 vs
+        # 517.4 at batch 16 on the v5e.  At 500+ fps a 16-frame batch is
+        # ~31 ms of video, well inside the offline-evaluation regime the
+        # reference runs in (recorded sequences, aruco_detect.py:571).
+        size_wh, batch, iters = (3840, 2160), int(os.environ.get("APSE_BENCH_BATCH", "16")), 16
     else:  # small shapes so the bench still runs in CI
         size_wh, batch, iters = (1280, 736), 2, 2
 
