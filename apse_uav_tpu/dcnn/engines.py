@@ -28,6 +28,47 @@ from apse_uav_tpu.dcnn import structures, tracker as tracker_mod
 Array = jax.Array
 
 
+def linear_resize_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """The (n_in, n_out) operator of jax.image.resize linear along one axis.
+
+    jax.image.resize(method="linear") is linear in the input, so the 1-D
+    resize is a matrix: out = in @ M.  Replicates its antialiased triangle
+    kernel analytically (kernel stretched by the downsample factor, weights
+    normalized per output sample) — asserted equal to the real op in
+    tests/test_engines.py.
+    """
+    scale = n_out / n_in
+    j = np.arange(n_in, dtype=np.float64)[:, None]
+    centers = (np.arange(n_out, dtype=np.float64)[None, :] + 0.5) / scale - 0.5
+    stretch = min(scale, 1.0)
+    w = np.maximum(0.0, 1.0 - np.abs(j - centers) * stretch)
+    return (w / w.sum(axis=0, keepdims=True)).astype(np.float32)
+
+
+def resize_frames_matmul(frames: Array, a_h: Array, a_w: Array) -> Array:
+    """Bilinear-resize (B, H, W, C) frames via two separable MXU dots.
+
+    Replaces u8->f32 cast + gather-based ``jax.image.resize`` on the 4K
+    detect path (2.83 ms/frame of the engine's prep: a 100 MB f32
+    materialization + per-pixel gathers).  bf16 operands are exact for u8
+    values and the MXU accumulates in f32, so the only error is the bf16
+    rounding of the interpolation weights (|err| <~ 1.5 LSB of u8, far
+    below the detector's noise floor).  Returns f32 (B, H', W', C).
+    """
+    xb = frames.astype(jnp.bfloat16)
+    # (B, H, W, C) x (H, H') -> (B, W, C, H')
+    y = jax.lax.dot_general(
+        xb, a_h.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)
+    # (B, W, C, H') x (W, W') -> (B, C, H', W')
+    z = jax.lax.dot_general(
+        y, a_w.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.transpose(z, (0, 2, 3, 1))
+
+
 def resize_target(orig_hw: tuple[int, int], min_size: int, max_size: int, div: int = 32) -> tuple[int, int]:
     """ResizeShortestEdge target (detectron2 semantics) padded to ``div``."""
     h, w = orig_hw
@@ -50,13 +91,17 @@ class TrackPredictor:
             self.orig_hw, cfg.input.min_size_test, cfg.input.max_size_test, cfg.input.pad_divisibility
         )
         self.model = build_model(cfg)
+        nh, nw = self.net_hw
+        self._resize_mats = (
+            jnp.asarray(linear_resize_matrix(self.orig_hw[0], nh)),
+            jnp.asarray(linear_resize_matrix(self.orig_hw[1], nw)),
+        )
         self._infer = jax.jit(self._infer_impl)
 
     def _infer_impl(self, params, frames_u8: Array):
         """frames (B, H, W, 3) uint8 in the configured channel order."""
-        x = frames_u8.astype(jnp.float32)
         nh, nw = self.net_hw
-        x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
+        x = resize_frames_matmul(frames_u8, *self._resize_mats)
         ph, pw = self.pad_hw
         x = jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
         dets, feats = self.model.apply({"params": params}, x, mode="inference")
@@ -211,9 +256,8 @@ class SelectivePredictor:
         )
 
     def _prep(self, frames_u8):
-        x = jnp.asarray(frames_u8).astype(jnp.float32)
         nh, nw = self.base.net_hw
-        x = jax.image.resize(x, (x.shape[0], nh, nw, 3), method="linear")
+        x = resize_frames_matmul(jnp.asarray(frames_u8), *self.base._resize_mats)
         ph, pw = self.base.pad_hw
         return jnp.pad(x, ((0, 0), (0, ph - nh), (0, pw - nw), (0, 0)))
 

@@ -103,3 +103,29 @@ def test_selective_predictor_times_stages(setup):
     dets = sel(frames)
     assert "backbone" in sel.timings and "selective_scan" in sel.timings
     assert np.isfinite(np.asarray(dets["boxes"])).all()
+
+
+def test_linear_resize_matrix_matches_jax_image_resize():
+    """The analytic 1-D operator equals jax.image.resize(method='linear')
+    (antialiased triangle kernel), and the separable bf16 matmul resize
+    tracks the reference op to ~1 u8 LSB."""
+    import jax
+    import jax.numpy as jnp
+    from apse_uav_tpu.dcnn.engines import linear_resize_matrix, resize_frames_matmul
+
+    rng = np.random.default_rng(7)
+    for n_in, n_out in [(45, 16), (64, 64), (30, 83), (2160, 768)]:
+        m = linear_resize_matrix(n_in, n_out)
+        x = rng.standard_normal((3, n_in)).astype(np.float32)
+        want = jax.image.resize(jnp.asarray(x), (3, n_out), method="linear")
+        np.testing.assert_allclose(x @ m, np.asarray(want), rtol=0, atol=1e-4)
+
+    frames = rng.integers(0, 256, (2, 45, 64, 3), np.uint8)
+    a_h = jnp.asarray(linear_resize_matrix(45, 16))
+    a_w = jnp.asarray(linear_resize_matrix(64, 83))
+    got = np.asarray(resize_frames_matmul(jnp.asarray(frames), a_h, a_w))
+    want = np.asarray(
+        jax.image.resize(jnp.asarray(frames).astype(jnp.float32), (2, 16, 83, 3), method="linear")
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=1.6)
