@@ -65,32 +65,34 @@ def main():
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
     print(f"params: {n_params / 1e6:.1f} M")
 
-    def timed_steps(freeze: bool, label: str, use_model=None):
+    def timed_steps(freeze: bool, label: str, use_model=None, use_params=None, use_gt=None):
+        params_ = params if use_params is None else use_params
+        gt_ = gt if use_gt is None else use_gt
         if freeze:
             # The reference regime (finetune_uav.py:161): train RPN+ROI only.
-            tx = build_finetune_optimizer(params, ("proposal_generator", "roi_heads"), lr=0.01)
+            tx = build_finetune_optimizer(params_, ("proposal_generator", "roi_heads"), lr=0.01)
         else:
-            tx = build_finetune_optimizer(params, ("backbone", "proposal_generator", "roi_heads"), lr=0.01)
-        opt_state = jax.jit(tx.init)(params)
+            tx = build_finetune_optimizer(params_, ("backbone", "proposal_generator", "roi_heads"), lr=0.01)
+        opt_state = jax.jit(tx.init)(params_)
         step = jax.jit(
             functools.partial(detector_train_step, use_model or model, tx, freeze_backbone=freeze),
         )
-        p, s = params, opt_state
+        p, s = params_, opt_state
         print(f"compiling {label}...", flush=True)
         t0 = time.perf_counter()
-        p, s, losses = step(p, s, images=images, gt=gt, rng=rng)
+        p, s, losses = step(p, s, images=images, gt=gt_, rng=rng)
         _ = float(losses["loss_total"])
         print(f"  first step (compile) {time.perf_counter() - t0:.1f}s", flush=True)
         t0 = time.perf_counter()
         for i in range(iters):
             # params evolve through the optimizer every step — a genuine
             # training chain, no memoization possible.
-            p, s, losses = step(p, s, images=images, gt=gt, rng=jax.random.fold_in(rng, i))
+            p, s, losses = step(p, s, images=images, gt=gt_, rng=jax.random.fold_in(rng, i))
         lt = float(losses["loss_total"])  # host read flushes the chain
         dt = (time.perf_counter() - t0) / iters
         # FLOP estimate: XLA cost analysis of the jitted step.
         try:
-            c = step.lower(p, s, images=images, gt=gt, rng=rng).compile().cost_analysis()
+            c = step.lower(p, s, images=images, gt=gt_, rng=rng).compile().cost_analysis()
             flops = c.get("flops", 0.0) if isinstance(c, dict) else c[0].get("flops", 0.0)
         except Exception:
             flops = 0.0
@@ -111,6 +113,22 @@ def main():
         timed_steps(True, "frozen-backbone bf16", use_model=model16)
     if "full16" in stages:
         timed_steps(False, "full bf16", use_model=model16)
+    # The reference's FLAGSHIP fine-tune regime is mask OFF
+    # (finetune_uav.py:87-97: 4 classes, MASK_ON False) — the mask-on rows
+    # above are a superset (they also pay the full-image GT-mask
+    # gather+crop); this row is the apples-to-apples finetune_uav number.
+    if "full16_nomask" in stages or "nomask" in stages:
+        cfg_nm = dataclasses.replace(
+            cfg, mask_on=False, compute_dtype="bfloat16", head_compute_dtype="float32")
+        model_nm = MaskRCNN(cfg=cfg_nm)
+        gt_nm = {k: v for k, v in gt.items() if k != "masks"}
+        params_nm = jax.jit(
+            lambda r, im, g: model_nm.init(r, im, mode="losses", gt=g, rng=r)["params"]
+        )(rng, images, gt_nm)
+        timed_steps(False, "full bf16 nomask", use_model=model_nm,
+                    use_params=params_nm, use_gt=gt_nm)
+        timed_steps(True, "frozen bf16 nomask", use_model=model_nm,
+                    use_params=params_nm, use_gt=gt_nm)
 
 
 if __name__ == "__main__":
