@@ -82,8 +82,17 @@ def finetune_detector(
     resume: bool = True,
     seed: int = 0,
     log_fn: Callable[[str], None] = print,
+    steps_per_call: int = 1,
 ) -> Any:
-    """Returns final params.  Checkpoints + results.txt land in ``workdir``."""
+    """Returns final params.  Checkpoints + results.txt land in ``workdir``.
+
+    ``steps_per_call`` > 1 runs that many optimizer steps per jit call via
+    ``lax.scan`` over stacked batches: per-call dispatch overhead (arg
+    marshalling of the ~500-leaf params+opt-state trees — ~0.1 s/call
+    through a remote-execution tunnel, measured round 5) amortizes across
+    the chunk.  Eval/checkpoint cadence is preserved: chunks never cross a
+    ``test_period`` or ``max_iter`` boundary (shorter chunks run there).
+    """
     model = build_model(model_cfg)
     it = iter(train_batches)
     images0, gt0 = next(it)
@@ -114,6 +123,20 @@ def finetune_detector(
         detector_train_step, model, tx,
         freeze_backbone="backbone" not in to_train,
     ))
+
+    @functools.partial(jax.jit, static_argnames=())
+    def scan_steps(params_, opt_state_, imagesK, gtK, rngs):
+        def body(carry, xs):
+            p_, s_ = carry
+            im, g, rr = xs
+            p_, s_, losses = detector_train_step(
+                model, tx, p_, s_, im, g, rr,
+                freeze_backbone="backbone" not in to_train,
+            )
+            return (p_, s_), losses
+
+        (params_, opt_state_), losses = jax.lax.scan(body, (params_, opt_state_), (imagesK, gtK, rngs))
+        return params_, opt_state_, jax.tree_util.tree_map(lambda v: v[-1], losses)
     rng = jax.random.PRNGKey(seed + 1)
     results_path = os.path.join(workdir, "results.txt")
     # Double-buffered device feed: the current batch is already on device
@@ -123,14 +146,68 @@ def finetune_detector(
     # reference hides this latency behind torch DataLoader worker processes
     # (UAV_utils.py:242-262); on a TPU host the overlap-by-async-dispatch
     # form needs no extra processes.
+    t0 = time.time()
+
+    def eval_and_checkpoint(losses):
+        losses = jax.tree_util.tree_map(float, losses)
+        stats = evaluate_detector(model, params, eval_batches_fn())
+        stats = {**stats, **losses}
+        ckpt.append_results_line(results_path, iteration, stats)
+        manager.save(
+            {"params": params, "opt_state": opt_state, "iteration": iteration},
+            ap=stats["AP"], ar=stats["AR100"],
+        )
+        ckpt.plot_training_results(results_path)
+        log_fn(
+            f"iter {iteration}: AP={stats['AP']:.4f} AR={stats['AR100']:.4f} "
+            f"loss={losses['loss_total']:.4f} ({time.time() - t0:.1f}s)"
+        )
+
+    k = max(int(steps_per_call), 1)
+    if k > 1:
+        pending = (np.asarray(images0), jax.tree_util.tree_map(np.asarray, gt0))
+        while iteration < max_iter:
+            # Chunks never cross an eval/checkpoint boundary.
+            boundary = min(max_iter, ((iteration // test_period) + 1) * test_period)
+            ims, gts = [], []
+            while len(ims) < min(k, boundary - iteration):
+                if pending is not None:
+                    b, pending = pending, None
+                else:
+                    try:
+                        b = next(it)
+                    except StopIteration:
+                        max_iter = iteration + len(ims)
+                        break
+                ims.append(np.asarray(b[0]))
+                gts.append(jax.tree_util.tree_map(np.asarray, b[1]))
+            if not ims:
+                break
+            chunk = len(ims)
+            imagesK = jax.device_put(np.stack(ims))
+            gtK = jax.device_put(jax.tree_util.tree_map(lambda *vs: np.stack(vs), *gts))
+            # Per-step rng = fold_in(iteration): identical streams for the
+            # chunked and single-step paths (equality-tested).
+            rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                jnp.arange(iteration, iteration + chunk))
+            if chunk == 1:
+                params, opt_state, losses = step(
+                    params, opt_state, imagesK[0],
+                    jax.tree_util.tree_map(lambda v: v[0], gtK), rngs[0])
+            else:
+                params, opt_state, losses = scan_steps(params, opt_state, imagesK, gtK, rngs)
+            iteration += chunk
+            if iteration % test_period == 0 or iteration == max_iter:
+                eval_and_checkpoint(losses)
+        return params
+
     dev_batch = (
         jax.device_put(jnp.asarray(images0)),
         jax.device_put(jax.tree_util.tree_map(jnp.asarray, gt0)),
     )
-    t0 = time.time()
     while iteration < max_iter:
         images, gt = dev_batch
-        rng, sub = jax.random.split(rng)
+        sub = jax.random.fold_in(rng, iteration)
         params, opt_state, losses = step(params, opt_state, images, gt, sub)
         iteration += 1
         dev_batch = None
@@ -145,19 +222,7 @@ def finetune_detector(
                     jax.device_put(jax.tree_util.tree_map(jnp.asarray, nb[1])),
                 )
         if iteration % test_period == 0 or iteration == max_iter:
-            losses = jax.tree_util.tree_map(float, losses)
-            stats = evaluate_detector(model, params, eval_batches_fn())
-            stats = {**stats, **losses}
-            ckpt.append_results_line(results_path, iteration, stats)
-            manager.save(
-                {"params": params, "opt_state": opt_state, "iteration": iteration},
-                ap=stats["AP"], ar=stats["AR100"],
-            )
-            ckpt.plot_training_results(results_path)
-            log_fn(
-                f"iter {iteration}: AP={stats['AP']:.4f} AR={stats['AR100']:.4f} "
-                f"loss={losses['loss_total']:.4f} ({time.time() - t0:.1f}s)"
-            )
+            eval_and_checkpoint(losses)
     return params
 
 

@@ -117,3 +117,37 @@ def test_train_association_head(tmp_path):
     same = np.linalg.norm(emb[0] - emb[1])
     diff = np.linalg.norm(emb[0] - emb[2])
     assert same < diff
+
+
+def test_finetune_detector_chunked_equals_single(tmp_path):
+    """steps_per_call > 1 (lax.scan over stacked batches) matches the
+    single-step loop: same batches, same fold_in(iteration) rng stream,
+    chunks never crossing the eval boundary.  Tolerance is tight-but-not-
+    bitwise: the scan body and the standalone step are separate XLA
+    compilations whose conv fusions round differently at f32; a
+    wrong-batch or wrong-rng bug diverges at O(1) and still fails."""
+    import jax
+    import numpy as np
+
+    from apse_uav_tpu.train.loop import finetune_detector
+
+    def run(workdir, k):
+        return finetune_detector(
+            _tiny_cfg(),
+            _batches(),
+            lambda: [next(_batches(seed=9))],
+            workdir,
+            max_iter=3,
+            test_period=3,
+            steps_per_call=k,
+            resume=False,
+            log_fn=lambda s: None,
+        )
+
+    p1 = run(str(tmp_path / "a"), 1)
+    p2 = run(str(tmp_path / "b"), 2)  # chunks: 2 then 1 (boundary at 3)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
