@@ -31,6 +31,21 @@ from apse_uav_tpu.train.optim import build_finetune_optimizer
 from apse_uav_tpu.train.steps import association_train_step, detector_train_step
 
 
+@functools.partial(jax.jit, static_argnames="n")
+def _split_chain(rng, n: int):
+    """n sequential jax.random.split steps in ONE jitted call.
+
+    Returns (advanced rng, (n, 2) subkeys) — the exact stream the
+    single-step loop's per-iteration ``rng, sub = split(rng)`` produces.
+    """
+    def body(r, _):
+        r2 = jax.random.split(r)
+        return r2[0], r2[1]
+
+    rng, subs = jax.lax.scan(body, rng, None, length=n)
+    return rng, subs
+
+
 def evaluate_detector(model: MaskRCNN, params, eval_batches: Iterable, max_images: int | None = None) -> dict[str, float]:
     """COCO AP over an eval loader (finetune_uav.py do_test:111-154)."""
     infer = jax.jit(lambda p, x: model.apply({"params": p}, x, mode="inference")[0])
@@ -186,10 +201,11 @@ def finetune_detector(
             chunk = len(ims)
             imagesK = jax.device_put(np.stack(ims))
             gtK = jax.device_put(jax.tree_util.tree_map(lambda *vs: np.stack(vs), *gts))
-            # Per-step rng = fold_in(iteration): identical streams for the
-            # chunked and single-step paths (equality-tested).
-            rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-                jnp.arange(iteration, iteration + chunk))
+            # Reproduce the single-step loop's split chain exactly (the
+            # committed learning-regression trajectories are pinned to this
+            # stream; equality-tested).  One jitted call per chunk — k
+            # host-side splits would each pay a dispatch round-trip.
+            rng, rngs = _split_chain(rng, chunk)
             if chunk == 1:
                 params, opt_state, losses = step(
                     params, opt_state, imagesK[0],
@@ -207,7 +223,7 @@ def finetune_detector(
     )
     while iteration < max_iter:
         images, gt = dev_batch
-        sub = jax.random.fold_in(rng, iteration)
+        rng, sub = jax.random.split(rng)
         params, opt_state, losses = step(params, opt_state, images, gt, sub)
         iteration += 1
         dev_batch = None
