@@ -33,12 +33,14 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
-        # Batch 16 default (round 5): throughput batching over streamed
-        # frames amortizes per-dispatch overhead — 495.5 fps at batch 8 vs
-        # 517.4 at batch 16 on the v5e.  At 500+ fps a 16-frame batch is
-        # ~31 ms of video, well inside the offline-evaluation regime the
-        # reference runs in (recorded sequences, aruco_detect.py:571).
-        size_wh, batch, iters = (3840, 2160), int(os.environ.get("APSE_BENCH_BATCH", "16")), 16
+        # Batch 24 default (round 5): throughput batching over streamed
+        # frames amortizes per-dispatch overhead — v5e sweep: 495.5 fps at
+        # batch 8, 517.4 at 16, 527.7 at 24, 534.9 at 32.  At 500+ fps a
+        # 24-frame batch is ~45 ms of video, well inside the offline-
+        # evaluation regime the reference runs in (recorded sequences,
+        # aruco_detect.py:571).  32 gains 1.4% more but its host-side
+        # scene prep pushes a cold bench run past the driver's timeout.
+        size_wh, batch, iters = (3840, 2160), int(os.environ.get("APSE_BENCH_BATCH", "24")), 16
     else:  # small shapes so the bench still runs in CI
         size_wh, batch, iters = (1280, 736), 2, 2
 
@@ -69,18 +71,39 @@ def main() -> None:
     # candidates), not pathological noise with near-zero proposal scores.
     from apse_uav_tpu.utils.synthetic import MarkerSpec, SceneRenderer
 
-    r = SceneRenderer(mtx, dist, size_wh, altitude=40.0, supersample=1)
-    base_np = np.empty((batch, 3, h, w), np.uint8)
-    for i in range(batch):
-        img = r.render([
-            MarkerSpec(4, (0.5, -2.0), yaw_deg=14.0 + 7 * i, leds=0b1010),
-            MarkerSpec(1, (7.5, 3.0), yaw_deg=40.0 + 5 * i),
-            MarkerSpec(2, (-9.0, 2.0), yaw_deg=70.0 - 9 * i),
-            MarkerSpec(3, (4.0, -6.5), yaw_deg=5.0 + 11 * i),
-        ])
-        # Scale to <= 200 so the evolving +0..47 brightness shift (below)
-        # cannot wrap uint8; contrast is preserved (markers stay trivial).
-        base_np[i] = np.transpose((img.astype(np.uint16) * 200 // 255).astype(np.uint8), (2, 0, 1))
+    # Scene cache: rendering is deterministic in (batch, size) but costs
+    # ~25 s/scene of host time on this 1-core VM — at batch 24 that alone
+    # approaches the driver's bench timeout.  The render inputs are pinned
+    # by the key; bump _SCENES_VERSION when the scene recipe changes.
+    _SCENES_VERSION = 1
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f".bench_scenes_v{_SCENES_VERSION}_{batch}x{w}x{h}.npz",
+    )
+    base_np = None
+    if os.path.exists(cache_path):
+        try:
+            base_np = np.load(cache_path)["frames"]
+            assert base_np.shape == (batch, 3, h, w) and base_np.dtype == np.uint8
+        except Exception:
+            base_np = None
+    if base_np is None:
+        r = SceneRenderer(mtx, dist, size_wh, altitude=40.0, supersample=1)
+        base_np = np.empty((batch, 3, h, w), np.uint8)
+        for i in range(batch):
+            img = r.render([
+                MarkerSpec(4, (0.5, -2.0), yaw_deg=14.0 + 7 * i, leds=0b1010),
+                MarkerSpec(1, (7.5, 3.0), yaw_deg=40.0 + 5 * i),
+                MarkerSpec(2, (-9.0, 2.0), yaw_deg=70.0 - 9 * i),
+                MarkerSpec(3, (4.0, -6.5), yaw_deg=5.0 + 11 * i),
+            ])
+            # Scale to <= 200 so the evolving +0..47 brightness shift (below)
+            # cannot wrap uint8; contrast is preserved (markers stay trivial).
+            base_np[i] = np.transpose((img.astype(np.uint16) * 200 // 255).astype(np.uint8), (2, 0, 1))
+        try:
+            np.savez(cache_path, frames=base_np)
+        except Exception:
+            pass
     # Production ingest hands the pipeline the PRE-PADDED host form
     # (pre.host_pack: decoded frames memcpy'd into a zeroed padded buffer —
     # the same copy batch assembly does anyway — viewed as the kernel's 5-D
