@@ -151,7 +151,11 @@ def _solve_spd6(a: Array, b: Array) -> Array:
         d = a[j, j]
         for k in range(j):
             d = d - low[j][k] * low[j][k]
-        dj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        # NO clamp: a rank-deficient system (degenerate quad) must produce
+        # NaN/inf here so the caller's isfinite guard freezes the params —
+        # clamping would turn the singular case into huge finite garbage
+        # steps that slip past the guard.
+        dj = jnp.sqrt(d)
         low[j][j] = dj
         for i in range(j + 1, n):
             s = a[i, j]

@@ -181,6 +181,8 @@ def finetune_detector(
     k = max(int(steps_per_call), 1)
     if k > 1:
         pending = (np.asarray(images0), jax.tree_util.tree_map(np.asarray, gt0))
+        last_eval_iter = iteration
+        losses = None
         while iteration < max_iter:
             # Chunks never cross an eval/checkpoint boundary.
             boundary = min(max_iter, ((iteration // test_period) + 1) * test_period)
@@ -197,6 +199,11 @@ def finetune_detector(
                 ims.append(np.asarray(b[0]))
                 gts.append(jax.tree_util.tree_map(np.asarray, b[1]))
             if not ims:
+                # Iterable exhausted exactly at a chunk boundary: the
+                # single-step path always checkpoints at exhaustion
+                # (iteration == max_iter there); match it.
+                if losses is not None and last_eval_iter != iteration:
+                    eval_and_checkpoint(losses)
                 break
             chunk = len(ims)
             imagesK = jax.device_put(np.stack(ims))
@@ -215,6 +222,7 @@ def finetune_detector(
             iteration += chunk
             if iteration % test_period == 0 or iteration == max_iter:
                 eval_and_checkpoint(losses)
+                last_eval_iter = iteration
         return params
 
     dev_batch = (

@@ -76,9 +76,14 @@ def main() -> None:
     # approaches the driver's bench timeout.  The render inputs are pinned
     # by the key; bump _SCENES_VERSION when the scene recipe changes.
     _SCENES_VERSION = 1
+    import hashlib
+
+    cam_key = hashlib.sha1(
+        np.concatenate([np.ravel(mtx), np.ravel(dist)]).astype(np.float64).tobytes()
+    ).hexdigest()[:10]
     cache_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f".bench_scenes_v{_SCENES_VERSION}_{batch}x{w}x{h}.npz",
+        f".bench_scenes_v{_SCENES_VERSION}_{batch}x{w}x{h}_{cam_key}.npz",
     )
     base_np = None
     if os.path.exists(cache_path):

@@ -34,10 +34,8 @@ def main():
     x0 = jax.device_put(np.random.default_rng(0).standard_normal((b, h, w, 3)).astype(np.float32))
 
     def timed(label, fn):
-        # fn(params, x) -> f32 scalar (ALL reduction inside the jit: the
-        # timing loop must only move one scalar per iteration).
-        f = jax.jit(fn)
-
+        # fn(params, x) -> f32 scalar; step() jits it with the reduction
+        # inside, so the timing loop only moves one scalar per iteration.
         @jax.jit
         def step(p, x, s):
             out = fn(p, x)

@@ -117,14 +117,24 @@ def main():
     # (finetune_uav.py:87-97: 4 classes, MASK_ON False) — the mask-on rows
     # above are a superset (they also pay the full-image GT-mask
     # gather+crop); this row is the apples-to-apples finetune_uav number.
+    _nomask_setup = {}
+
+    def nomask_setup():
+        # Shared by the nomask and scan stages (params init is minutes of
+        # compile on this host — never do it twice).
+        if not _nomask_setup:
+            cfg_nm = dataclasses.replace(
+                cfg, mask_on=False, compute_dtype="bfloat16", head_compute_dtype="float32")
+            model_nm = MaskRCNN(cfg=cfg_nm)
+            gt_nm = {k: v for k, v in gt.items() if k != "masks"}
+            params_nm = jax.jit(
+                lambda r, im, g: model_nm.init(r, im, mode="losses", gt=g, rng=r)["params"]
+            )(rng, images, gt_nm)
+            _nomask_setup.update(model=model_nm, gt=gt_nm, params=params_nm)
+        return _nomask_setup["model"], _nomask_setup["gt"], _nomask_setup["params"]
+
     if "full16_nomask" in stages or "nomask" in stages:
-        cfg_nm = dataclasses.replace(
-            cfg, mask_on=False, compute_dtype="bfloat16", head_compute_dtype="float32")
-        model_nm = MaskRCNN(cfg=cfg_nm)
-        gt_nm = {k: v for k, v in gt.items() if k != "masks"}
-        params_nm = jax.jit(
-            lambda r, im, g: model_nm.init(r, im, mode="losses", gt=g, rng=r)["params"]
-        )(rng, images, gt_nm)
+        model_nm, gt_nm, params_nm = nomask_setup()
         timed_steps(False, "full bf16 nomask", use_model=model_nm,
                     use_params=params_nm, use_gt=gt_nm)
         timed_steps(True, "frozen bf16 nomask", use_model=model_nm,
@@ -134,16 +144,12 @@ def main():
     # the remainder is the tunnel's per-execute RPC marshalling of the
     # ~540-leaf params+opt-state trees, which a production loop amortizes
     # by scanning steps (data double-buffered per chunk).  Wall stays the
-    # honest metric: every sub-step consumes fresh data and params evolve.
+    # honest metric: the K sub-steps reuse ONE tiled batch, but params +
+    # opt state evolve through every sub-step and across calls, so no two
+    # executions are identical and the memoizing tunnel cannot cheat.
     if "scan" in stages:
         K = 4
-        cfg_nm = dataclasses.replace(
-            cfg, mask_on=False, compute_dtype="bfloat16", head_compute_dtype="float32")
-        model_nm = MaskRCNN(cfg=cfg_nm)
-        gt_nm = {k: v for k, v in gt.items() if k != "masks"}
-        params_nm = jax.jit(
-            lambda r, im, g: model_nm.init(r, im, mode="losses", gt=g, rng=r)["params"]
-        )(rng, images, gt_nm)
+        model_nm, gt_nm, params_nm = nomask_setup()
         tx = build_finetune_optimizer(
             params_nm, ("backbone", "proposal_generator", "roi_heads"), lr=0.01)
         opt_state = jax.jit(tx.init)(params_nm)

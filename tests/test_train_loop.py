@@ -151,3 +151,30 @@ def test_finetune_detector_chunked_equals_single(tmp_path):
     assert len(flat1) == len(flat2)
     for a, b in zip(flat1, flat2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_finetune_detector_chunked_checkpoints_on_exhaustion(tmp_path):
+    """A finite iterable that exhausts exactly at a chunk boundary still
+    gets the final eval/checkpoint (parity with the single-step path)."""
+    import itertools
+    import os
+
+    from apse_uav_tpu.train.loop import finetune_detector
+
+    finite = itertools.islice(_batches(), 3)
+    params = finetune_detector(
+        _tiny_cfg(),
+        finite,
+        lambda: [next(_batches(seed=9))],
+        str(tmp_path),
+        max_iter=1000,   # iterable exhausts long before this
+        test_period=50,  # ...and before any periodic eval
+        steps_per_call=3,
+        resume=False,
+        log_fn=lambda s: None,
+    )
+    assert params is not None
+    assert os.path.exists(tmp_path / "results.txt")
+    assert os.path.exists(tmp_path / "last")
+    with open(tmp_path / "results.txt") as f:
+        assert len(f.read().strip().splitlines()) == 2  # header + final row
